@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: PageRank over the deterministic part
+co-occurrence link graph at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2); oracles are DuckDB SQL with unrolled fixed-iteration
+CTEs for the iterative analytics.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from linkgraph.queries import q_pagerank
+
+    return q_pagerank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from linkgraph import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edges_cooccur": q.q_edges,
+        "degrees": q.q_degrees,
+        "partition_hash": q.q_partition_hash,
+        "partition_dbh": q.q_partition_dbh,
+        "partition_grid": q.q_partition_grid,
+        "partition_metrics": q.q_partition_metrics,
+        "pagerank": q.q_pagerank,
+        "components": q.q_components,
+        "label_propagation": q.q_label_propagation,
+        "triangles": q.q_triangles,
+        "triangle_total": q.q_triangle_total,
+        "degree_topk": q.q_degree_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from linkgraph.oracle import sql as o
+
+    return {
+        "edges_cooccur": o.sql_edges(),
+        "degrees": o.sql_degrees(),
+        "partition_hash": o.sql_partition_hash(),
+        "partition_dbh": o.sql_partition_dbh(),
+        "partition_grid": o.sql_partition_grid(),
+        "partition_metrics": o.sql_partition_metrics(),
+        "pagerank": o.sql_pagerank(),
+        "components": o.sql_components(),
+        "label_propagation": o.sql_label_propagation(),
+        "triangles": o.sql_triangles(),
+        "triangle_total": o.sql_triangle_total(),
+        "degree_topk": o.sql_degree_topk(),
+    }

@@ -1,0 +1,47 @@
+"""Synchronous label propagation (community detection), deterministic.
+
+Each round every vertex adopts the most frequent label among its
+neighbors; ties break to the *minimum* label (deterministic under any
+execution order — required for oracle-exact parity, SURVEY.md §2.5).
+Fixed iteration count (synchronous LPA need not converge; oscillation
+is expected on bipartite-ish structures, so determinism comes from the
+fixed round count).
+
+Execution per round: (1) neighbor-label count — groupBy(vid, label)
+with map-side partial aggregation (hub-degree skew collapses per task);
+(2) argmax per vertex via a window over the *aggregated* counts (group
+size ≤ #distinct neighbor labels, not degree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 10, checkpoint_every: int = 3
+) -> DataFrame:
+    """Returns ``DataFrame[vid: long, label: long]``."""
+    from linkgraph.graph import symmetrize, vertices
+
+    sym = symmetrize(edges).cache()
+    labels = vertices(edges).withColumn("label", F.col("vid"))
+
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(iterations):
+        counts = (
+            sym.join(labels, sym["src"] == labels["vid"])
+            .select(F.col("dst").alias("vid"), "label")
+            .groupBy("vid", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+    return labels.select("vid", "label")

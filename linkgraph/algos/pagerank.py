@@ -1,0 +1,98 @@
+"""PageRank as Pregel-style message passing over DataFrame joins.
+
+Semantics (north star + the survey paper bundled with the reference,
+papers/Design and Implementation of Parallel PageRank on Multicore
+Platforms.pdf): r'(v) = (1-d)/n + d·(Σ_{u→v} r(u)/outdeg(u) +
+dangling_mass/n), d = 0.85, dangling mass redistributed uniformly.
+
+Execution shape per superstep (the scale-critical part):
+- ``edges ⋈ ranks`` on src — sort-merge or shuffled-hash join on the
+  superstep's only wide dependency; AQE skew-join splits hot src keys.
+- message aggregation ``groupBy(dst).sum`` — Spark performs partial
+  (map-side) aggregation, so a 10^8-degree hub reduces to one partial
+  sum per task before the shuffle; explicit salting
+  (``linkgraph.partition.salt``) is available when the *join* itself
+  skews.
+- lineage truncated every ``checkpoint_every`` supersteps via
+  localCheckpoint (or durable checkpoints via ``linkgraph.pregel``) —
+  without it the Catalyst plan doubles per iteration.
+
+The edges+outdeg join input is computed once and cached across all
+supersteps (the reference analog: CSR built once, base_graph.cpp:92-94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 20,
+    damping: float = 0.85,
+    tol: float | None = None,
+    directed: bool = False,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Returns ``DataFrame[vid: long, rank: double]``.
+
+    ``directed=False`` symmetrizes the one-direction undirected edge
+    list first (then no dangling vertices exist and the per-superstep
+    dangling-mass job is skipped). With ``tol`` set, stops early when
+    max |Δrank| < tol (one extra join per superstep).
+    """
+    from linkgraph.graph import symmetrize, vertices
+
+    g = edges.select("src", "dst") if directed else symmetrize(edges)
+    out_deg = g.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one cached join input reused every superstep
+    links = g.join(out_deg, "src").select("src", "dst", "outdeg").cache()
+    verts = vertices(edges).cache()
+    n = verts.count()
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    has_dangling = directed and verts.join(
+        out_deg, verts["vid"] == out_deg["src"], "left_anti"
+    ).limit(1).count() > 0
+
+    for i in range(iterations):
+        dangling_term = 0.0
+        if has_dangling:
+            dangling_sum = (
+                ranks.join(out_deg, ranks["vid"] == out_deg["src"], "left_anti")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            dangling_term = damping * dangling_sum / n
+        msgs = links.join(ranks, links["src"] == ranks["vid"]).select(
+            F.col("dst").alias("vid"), (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        new_ranks = msgs.groupBy("vid").agg(
+            (F.lit(teleport + dangling_term) + F.lit(damping) * F.sum("c")).alias(
+                "rank"
+            )
+        )
+        # vertices receiving no messages (directed graphs only)
+        missing = verts.join(new_ranks, "vid", "left_anti").withColumn(
+            "rank", F.lit(teleport + dangling_term)
+        )
+        new_ranks = new_ranks.unionByName(missing) if directed else new_ranks
+
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "vid")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks.select("vid", "rank")

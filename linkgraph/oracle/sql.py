@@ -1,0 +1,209 @@
+"""DuckDB oracle SQL for every driver query in ``linkgraph.queries``.
+
+Iterative algorithms are unrolled as CTE chains with the same fixed
+iteration counts the Spark queries use; float outputs rounded to 6
+decimals on both sides. The tables region/nation/.../lineitem are
+pre-registered DuckDB views by the driver.
+"""
+
+from __future__ import annotations
+
+from linkgraph.queries import CC_ITERS, K_DBH, K_GRID, K_HASH, LPA_ITERS, PR_ITERS
+
+# shared CTE bodies -------------------------------------------------------
+
+EDGES_CTE = """e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+SYM_CTE = """sym AS MATERIALIZED (
+  SELECT src, dst FROM e
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e
+)"""
+
+VERTS_CTE = "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym)"
+
+DEG_CTE = """deg AS MATERIALIZED (
+  SELECT vid, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e
+  ) GROUP BY vid
+)"""
+
+
+def sql_edges() -> str:
+    return f"WITH {EDGES_CTE} SELECT src, dst FROM e"
+
+
+def sql_degrees() -> str:
+    return f"WITH {EDGES_CTE}, {DEG_CTE} SELECT vid, degree FROM deg"
+
+
+_ASSIGN = {
+    "hash": f"CAST((src * 131071 + dst) % {K_HASH} AS BIGINT)",
+    "grid": f"CAST((src % {int(K_GRID ** 0.5)}) * {int(K_GRID ** 0.5)} "
+    f"+ (dst % {int(K_GRID ** 0.5)}) AS BIGINT)",
+}
+
+_DBH_CTE = f"""pa_dbh AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         CAST((CASE WHEN ds.degree <= dd.degree THEN e.src ELSE e.dst END) % {K_DBH} AS BIGINT) AS partition
+  FROM e JOIN deg ds ON e.src = ds.vid JOIN deg dd ON e.dst = dd.vid
+)"""
+
+
+def sql_partition_hash() -> str:
+    return (
+        f"WITH {EDGES_CTE} SELECT src, dst, {_ASSIGN['hash']} AS partition FROM e"
+    )
+
+
+def sql_partition_dbh() -> str:
+    return (
+        f"WITH {EDGES_CTE}, {DEG_CTE}, {_DBH_CTE} "
+        "SELECT src, dst, partition FROM pa_dbh"
+    )
+
+
+def sql_partition_grid() -> str:
+    return (
+        f"WITH {EDGES_CTE} SELECT src, dst, {_ASSIGN['grid']} AS partition FROM e"
+    )
+
+
+def _metrics_block(name: str, assign_cte: str, k: int) -> str:
+    """One SELECT computing the edgePartitioner.cpp:30-46 metrics from a
+    (src,dst,partition) CTE named ``assign_cte``."""
+    return f"""SELECT '{name}' AS strategy,
+  (SELECT CAST(sum(cnt) AS BIGINT) FROM (SELECT count(*) AS cnt FROM {assign_cte} GROUP BY partition)) AS m,
+  (SELECT CAST(count(DISTINCT vid) AS BIGINT) FROM (
+     SELECT src AS vid, partition FROM {assign_cte} UNION ALL SELECT dst, partition FROM {assign_cte})) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+     SELECT DISTINCT vid, partition FROM (
+       SELECT src AS vid, partition FROM {assign_cte} UNION ALL SELECT dst, partition FROM {assign_cte}))) AS replicas,
+  CAST(NULL AS DOUBLE) AS replication_factor,
+  (SELECT CAST(max(cnt) AS BIGINT) FROM (SELECT count(*) AS cnt FROM {assign_cte} GROUP BY partition)) AS max_edge,
+  (SELECT CAST(min(cnt) AS BIGINT) FROM (SELECT count(*) AS cnt FROM {assign_cte} GROUP BY partition)) AS min_edge,
+  CAST(NULL AS DOUBLE) AS alpha"""
+
+
+def sql_partition_metrics() -> str:
+    hash_cte = f"pa_hash AS MATERIALIZED (SELECT src, dst, {_ASSIGN['hash']} AS partition FROM e)"
+    grid_cte = f"pa_grid AS MATERIALIZED (SELECT src, dst, {_ASSIGN['grid']} AS partition FROM e)"
+    blocks = " UNION ALL ".join(
+        _metrics_block(n, f"pa_{n}", k)
+        for n, k in [("hash", K_HASH), ("dbh", K_DBH), ("grid", K_GRID)]
+    )
+    kmap = f"CASE strategy WHEN 'hash' THEN {K_HASH} WHEN 'dbh' THEN {K_DBH} ELSE {K_GRID} END"
+    return f"""WITH {EDGES_CTE}, {DEG_CTE}, {hash_cte}, {_DBH_CTE}, {grid_cte},
+raw AS ({blocks})
+SELECT strategy, m, n_vertices, replicas,
+  round(CAST(replicas AS DOUBLE) / CAST(n_vertices AS DOUBLE), 6) AS replication_factor,
+  max_edge, min_edge,
+  round(CAST(max_edge AS DOUBLE) * ({kmap}) / CAST(m AS DOUBLE), 6) AS alpha
+FROM raw"""
+
+
+def sql_pagerank(iters: int = PR_ITERS, d: float = 0.85) -> str:
+    parts = [
+        EDGES_CTE,
+        SYM_CTE,
+        VERTS_CTE,
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "odeg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS outdeg FROM sym GROUP BY src)",
+        "r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT s.dst AS vid,
+         (1.0 - {d}) / (SELECT n FROM nn) + {d} * sum(r.rank / o.outdeg) AS rank
+  FROM sym s JOIN r{i - 1} r ON s.src = r.vid JOIN odeg o ON s.src = o.vid
+  GROUP BY s.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+def sql_components(iters: int = CC_ITERS) -> str:
+    parts = [
+        EDGES_CTE,
+        SYM_CTE,
+        VERTS_CTE,
+        "l0 AS (SELECT vid, vid AS component FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT vid, min(component) AS component FROM (
+    SELECT s.dst AS vid, l.component FROM sym s JOIN l{i - 1} l ON s.src = l.vid
+    UNION ALL
+    SELECT vid, component FROM l{i - 1}
+  ) GROUP BY vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, component FROM l{iters}"
+    )
+
+
+def sql_label_propagation(iters: int = LPA_ITERS) -> str:
+    parts = [
+        EDGES_CTE,
+        SYM_CTE,
+        VERTS_CTE,
+        "p0 AS (SELECT vid, vid AS label FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn
+    FROM (
+      SELECT s.dst AS vid, l.label, count(*) AS cnt
+      FROM sym s JOIN p{i - 1} l ON s.src = l.vid
+      GROUP BY s.dst, l.label
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM p{iters}"
+
+
+_TRI_CTE = """tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)"""
+
+
+def sql_triangles() -> str:
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {VERTS_CTE}, {_TRI_CTE},
+members AS (
+  SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnts AS (SELECT vid, CAST(count(*) AS BIGINT) AS triangles FROM members GROUP BY vid)
+SELECT v.vid, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+FROM verts v LEFT JOIN cnts c ON v.vid = c.vid"""
+
+
+def sql_triangle_total() -> str:
+    return f"WITH {EDGES_CTE}, {_TRI_CTE} SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri"
+
+
+def sql_degree_topk() -> str:
+    return f"""WITH {EDGES_CTE}, {DEG_CTE},
+ranked AS (
+  SELECT vid, degree,
+         CAST(row_number() OVER (ORDER BY degree DESC, vid ASC) AS BIGINT) AS rnk
+  FROM deg
+)
+SELECT vid, degree, rnk FROM ranked WHERE rnk <= 20"""

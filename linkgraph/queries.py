@@ -1,0 +1,153 @@
+"""Driver-facing queries: each returns a DataFrame over the testdata
+parquet tables, with a matching DuckDB oracle in
+``linkgraph.oracle.sql`` (column names and types aligned for the
+driver's order-insensitive value-hash compare).
+
+The canonical graph for graph queries is the deterministic part
+co-occurrence graph derived from ``lineitem`` (see
+``linkgraph.graph.edges_from_lineitem``). Fixed iteration counts are
+used where the algorithm is iterative so Spark and the unrolled SQL
+oracle compute the identical deterministic result. Floating-point
+outputs are rounded to 6 decimals on both sides (north-rule tolerance
+is allclose 1e-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.graph import degrees, edges_from_lineitem, vertices
+from linkgraph.partition.metrics import edge_partition_metrics
+from linkgraph.partition.strategies import dbh, grid, hash_edges
+
+# fixed parameters shared with the SQL oracles
+K_HASH = 8
+K_DBH = 8
+K_GRID = 16
+PR_ITERS = 5
+CC_ITERS = 10
+LPA_ITERS = 4
+
+
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edges_from_lineitem(spark, sf_dir)
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(edges_from_lineitem(spark, sf_dir))
+
+
+def q_partition_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_edges(edges_from_lineitem(spark, sf_dir), K_HASH)
+
+
+def q_partition_dbh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edges_from_lineitem(spark, sf_dir)
+    return dbh(e, degrees(e), K_DBH)
+
+
+def q_partition_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grid(edges_from_lineitem(spark, sf_dir), K_GRID)
+
+
+def q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication factor / alpha / balance for all three vectorized
+    strategies — the reference's metric log line
+    (edgePartitioner.cpp:63-84) as a 3-row DataFrame.
+
+    All strategies are stacked into one (strategy, src, dst, partition)
+    DataFrame so the whole query is two grouped aggregates (mirrors +
+    loads) instead of six per-strategy jobs.
+    """
+    e = edges_from_lineitem(spark, sf_dir).cache()
+    deg = degrees(e)
+    assigned = (
+        hash_edges(e, K_HASH).withColumn("strategy", F.lit("hash"))
+        .unionByName(dbh(e, deg, K_DBH).withColumn("strategy", F.lit("dbh")))
+        .unionByName(grid(e, K_GRID).withColumn("strategy", F.lit("grid")))
+    )
+    k_col = (
+        F.when(F.col("strategy") == "hash", F.lit(K_HASH))
+        .when(F.col("strategy") == "dbh", F.lit(K_DBH))
+        .otherwise(F.lit(K_GRID))
+    )
+    mir = (
+        assigned.select("strategy", F.col("src").alias("vid"), "partition")
+        .unionAll(assigned.select("strategy", F.col("dst").alias("vid"), "partition"))
+        .distinct()
+    )
+    rep = mir.groupBy("strategy").agg(
+        F.count("*").cast("long").alias("replicas"),
+        F.countDistinct("vid").cast("long").alias("n_vertices"),
+    )
+    loads = assigned.groupBy("strategy", "partition").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = loads.groupBy("strategy").agg(
+        F.sum("cnt").cast("long").alias("m"),
+        F.max("cnt").cast("long").alias("max_edge"),
+        F.min("cnt").cast("long").alias("min_edge"),
+    )
+    return rep.join(stats, "strategy").select(
+        "strategy",
+        "m",
+        "n_vertices",
+        "replicas",
+        F.round(F.col("replicas") / F.col("n_vertices"), 6).alias(
+            "replication_factor"
+        ),
+        "max_edge",
+        "min_edge",
+        F.round(F.col("max_edge") * k_col / F.col("m"), 6).alias("alpha"),
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algos.pagerank import pagerank
+
+    e = edges_from_lineitem(spark, sf_dir)
+    r = pagerank(e, iterations=PR_ITERS, directed=False)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algos.cc import connected_components
+
+    e = edges_from_lineitem(spark, sf_dir)
+    return connected_components(e, fixed_iterations=CC_ITERS)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algos.lpa import label_propagation
+
+    e = edges_from_lineitem(spark, sf_dir)
+    return label_propagation(e, iterations=LPA_ITERS)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algos.triangles import triangle_counts
+
+    e = edges_from_lineitem(spark, sf_dir)
+    return triangle_counts(e, degree_oriented=True)
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algos.triangles import triangle_total
+
+    e = edges_from_lineitem(spark, sf_dir)
+    return triangle_total(e, degree_oriented=True)
+
+
+def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vertices by degree (deterministic tie-break by vid) —
+    the skew report / window-function surface (SURVEY.md §2.3)."""
+    from pyspark.sql import Window
+
+    deg = degrees(edges_from_lineitem(spark, sf_dir))
+    w = Window.orderBy(F.desc("degree"), F.asc("vid"))
+    return (
+        deg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select("vid", "degree", "rnk")
+    )
