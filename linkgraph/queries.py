@@ -139,6 +139,15 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_total(e, degree_oriented=True)
 
 
+def q_partition_hdrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDRF exact mode (deterministic stream order) — rows-only oracle
+    check (sequential greedy state is not SQL-expressible; exactness vs
+    the Python oracle is covered in tests/test_hdrf.py)."""
+    from linkgraph.partition.hdrf import hdrf_spark
+
+    return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=True)
+
+
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices by degree (deterministic tie-break by vid) —
     the skew report / window-function surface (SURVEY.md §2.3)."""
