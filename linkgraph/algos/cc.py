@@ -21,17 +21,22 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     fixed_iterations: int | None = None,
-    pointer_jumping: bool = False,
+    pointer_jumping: bool | None = None,
     checkpoint_every: int = 3,
 ) -> DataFrame:
     """Returns ``DataFrame[vid: long, component: long]``.
 
     ``fixed_iterations`` runs exactly that many synchronous rounds
     without a convergence check (deterministic regardless of
-    convergence — used by the SQL-oracle parity harness); default mode
-    iterates until no label changes.
+    convergence — used by the SQL-oracle parity harness) and disables
+    pointer jumping by default so the plain unrolled SQL oracle
+    matches; default (convergence) mode enables pointer jumping —
+    O(log n) rounds instead of O(diameter).
     """
     from linkgraph.graph import symmetrize, vertices
+
+    if pointer_jumping is None:
+        pointer_jumping = fixed_iterations is None
 
     sym = symmetrize(edges).cache()
     labels = vertices(edges).withColumn("component", F.col("vid"))

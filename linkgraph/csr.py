@@ -1,0 +1,128 @@
+"""Per-partition CSR adjacency blocks + CSR-block PageRank.
+
+The Spark mapping of the reference's ``graph_t`` prefix-sum CSR
+(/root/reference/utils/graph.hpp:57-95, build at
+/root/reference/utils/graph.cpp:5-45): each *graph partition* (from any
+``linkgraph.partition`` strategy) becomes a local CSR block
+(``indptr``/``indices`` numpy arrays) built inside an Arrow UDF.
+
+Superstep = sparse gather-scatter over the blocks:
+
+  1. ranks ⋈ mirrors(vid → partition) routes each vertex's rank to
+     every partition holding one of its edges (one shuffle, the
+     superstep's only wide dependency on the rank side);
+  2. cogroup(edges-by-partition, routed-ranks-by-partition) →
+     applyInPandas: the UDF builds/uses the local CSR and emits
+     per-destination *partial* contribution sums (map-side combine in
+     user space — a partition with 10^9 edges emits at most its local
+     vertex count, not its edge count);
+  3. global groupBy(vid).sum finalizes — the two-stage aggregation
+     that makes hub skew survivable (P23 salting semantics built in:
+     the partitioner already split hub edges across partitions, so
+     each hub's partials arrive pre-aggregated per partition).
+
+At 100 TB the edges side is written once, bucketed by partition, and
+re-read per superstep; the ranks shuffle is sized by replication factor
+(RF ≈ 2-4 with grid/HDRF) — this is exactly why partition quality
+matters for superstep throughput.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_csr(src: np.ndarray, dst: np.ndarray):
+    """Local CSR from an edge batch: (unique_srcs, indptr, indices).
+    Prefix-sum build mirroring the reference semantics
+    (/root/reference/utils/graph.cpp:19-43)."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    uniq, counts = np.unique(s, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    return uniq, indptr, d
+
+
+def pagerank_csr(
+    edges: DataFrame,
+    k: int = 32,
+    strategy: str = "grid",
+    iterations: int = 20,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """PageRank executed as gather-scatter over per-partition CSR
+    blocks (north-star execution shape). Numerically equivalent to
+    ``linkgraph.algos.pagerank`` (same update rule; float sum order
+    differs ⇒ agreement to ~1e-12, well inside the 1e-6 tolerance)."""
+    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.partition.strategies import partition_edges
+
+    sym = symmetrize(edges)
+    out_deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    # partition the directed (symmetrized) edge set once; cache blocks
+    parted = partition_edges(sym, strategy, k, hasher=hasher).cache()
+    # mirror routing table: which partitions need each vertex's rank
+    # (only as a *source* — gather side), i.e. distinct (src, partition)
+    routes = (
+        parted.select(
+            F.col("src").alias("vid"), F.col("partition").alias("part")
+        )
+        .distinct()
+        .cache()
+    )
+    verts = vertices(edges).cache()
+    n = verts.count()
+    teleport = (1.0 - damping) / n
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    ranks_w_deg = None
+
+    def step(key, edges_pdf: pd.DataFrame, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
+        if edges_pdf.empty or ranks_pdf.empty:
+            return pd.DataFrame({"vid": [], "partial": []}).astype(
+                {"vid": "int64", "partial": "float64"}
+            )
+        src = edges_pdf["src"].to_numpy()
+        dst = edges_pdf["dst"].to_numpy()
+        uniq, indptr, indices = build_csr(src, dst)
+        # align routed ranks to the CSR's source vertices
+        rv = ranks_pdf["vid"].to_numpy()
+        rorder = np.argsort(rv)
+        pos = np.searchsorted(rv[rorder], uniq)
+        contrib = (
+            ranks_pdf["rank"].to_numpy()[rorder][pos]
+            / ranks_pdf["outdeg"].to_numpy()[rorder][pos]
+        )
+        # scatter: repeat each src's contribution across its out-edges,
+        # then segment-sum by destination (local partial aggregation)
+        per_edge = np.repeat(contrib, np.diff(indptr))
+        dsts, inv = np.unique(indices, return_inverse=True)
+        partial = np.zeros(len(dsts), dtype=np.float64)
+        np.add.at(partial, inv, per_edge)
+        return pd.DataFrame({"vid": dsts, "partial": partial})
+
+    for i in range(iterations):
+        ranks_w_deg = ranks.join(out_deg, ranks["vid"] == out_deg["src"]).select(
+            "vid", "rank", "outdeg"
+        )
+        routed = routes.join(ranks_w_deg, "vid").select(
+            "part", "vid", "rank", "outdeg"
+        )
+        partials = (
+            parted.groupby("partition")
+            .cogroup(routed.groupby("part"))
+            .applyInPandas(step, schema="vid long, partial double")
+        )
+        new_ranks = partials.groupBy("vid").agg(
+            (F.lit(teleport) + F.lit(damping) * F.sum("partial")).alias("rank")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    return ranks.select("vid", "rank")

@@ -1,0 +1,117 @@
+"""Analytics vs independent oracles (north rule: PageRank allclose
+1e-6; components/labels/triangles exact)."""
+
+import numpy as np
+import pytest
+
+from linkgraph.algos.cc import connected_components
+from linkgraph.algos.lpa import label_propagation
+from linkgraph.algos.pagerank import pagerank
+from linkgraph.algos.triangles import triangle_counts, triangle_total
+from linkgraph.oracle.numpy_ref import (
+    components_py,
+    lpa_py,
+    pagerank_np,
+    triangles_py,
+)
+from linkgraph.synth import graph_edges
+
+SHAPES = ["triangle3", "star_hub", "two_cliques_bridge", "path_chain", "disconnected"]
+
+
+@pytest.mark.parametrize("shape", SHAPES + ["powerlaw_ba"])
+def test_pagerank_allclose(spark, edges_df, shape):
+    edges = graph_edges(shape, n=200, seed=7)
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(edges_df(edges), iterations=15).collect()
+    }
+    want = pagerank_np(edges, iterations=15)
+    assert set(got) == set(want)
+    assert np.allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+
+
+def test_pagerank_directed_dangling(spark, edges_df):
+    """Directed chain + sink: dangling mass must be redistributed
+    uniformly (north-star PageRank semantics)."""
+    edges = [(0, 1), (1, 2), (2, 3), (4, 3)]  # 3 is a sink
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(edges_df(edges), iterations=25, directed=True).collect()
+    }
+    want = pagerank_np(edges, iterations=25, directed=True)
+    assert np.allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_convergence_tol(spark, edges_df):
+    edges = graph_edges("two_cliques_bridge")
+    r1 = {
+        r["vid"]: r["rank"]
+        for r in pagerank(edges_df(edges), iterations=60, tol=1e-10).collect()
+    }
+    want = pagerank_np(edges, iterations=100)
+    assert np.allclose(
+        [r1[v] for v in sorted(r1)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_components_exact(spark, edges_df, shape):
+    edges = graph_edges(shape)
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(edges_df(edges)).collect()
+    }
+    assert got == components_py(edges)
+
+
+def test_components_pointer_jumping_long_chain(spark, edges_df):
+    """Pointer jumping converges a 100-vertex path in far fewer than
+    diameter supersteps."""
+    edges = graph_edges("path_chain", n=100)
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(
+            edges_df(edges), max_iterations=12, pointer_jumping=True
+        ).collect()
+    }
+    assert got == components_py(edges)
+
+
+@pytest.mark.parametrize("shape", ["triangle3", "two_cliques_bridge", "star_hub"])
+def test_lpa_matches_oracle(spark, edges_df, shape):
+    edges = graph_edges(shape)
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(edges_df(edges), iterations=6).collect()
+    }
+    assert got == lpa_py(edges, iterations=6)
+
+
+@pytest.mark.parametrize("shape", SHAPES + ["powerlaw_ba"])
+@pytest.mark.parametrize("oriented", [True, False])
+def test_triangles_exact(spark, edges_df, shape, oriented):
+    edges = graph_edges(shape, n=150, seed=3)
+    per, total = triangles_py(edges)
+    got = {
+        r["vid"]: r["triangles"]
+        for r in triangle_counts(edges_df(edges), degree_oriented=oriented).collect()
+    }
+    assert got == per
+    assert (
+        triangle_total(edges_df(edges), degree_oriented=oriented).first()[
+            "n_triangles"
+        ]
+        == total
+    )
+
+
+def test_two_cliques_triangle_count(spark, edges_df):
+    """Two K5s share no triangles with the bridge: 2 * C(5,3) = 20."""
+    edges = graph_edges("two_cliques_bridge")
+    assert triangle_total(edges_df(edges)).first()["n_triangles"] == 20

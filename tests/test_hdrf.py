@@ -1,0 +1,79 @@
+"""HDRF: Spark exact mode ≡ sequential Python oracle; chunked mode
+invariants (completeness, balance cap, RF better than hash)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.partition.hdrf import hdrf_oracle, hdrf_spark
+from linkgraph.partition.metrics import assert_complete, edge_partition_metrics
+from linkgraph.partition.strategies import hash_edges
+from linkgraph.synth import graph_edges
+
+
+@pytest.fixture(scope="module")
+def powerlaw():
+    return graph_edges("powerlaw_ba", n=300, m=3, seed=11)
+
+
+def _stream_order(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = (
+        df.withColumn("_o", F.xxhash64("src", "dst", F.lit(985)))
+        .orderBy("_o", "src", "dst")
+        .collect()
+    )
+    return [(r["src"], r["dst"]) for r in rows]
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_exact_matches_oracle(spark, edges_df, powerlaw, k):
+    stream = _stream_order(spark, powerlaw)
+    want = dict(zip(stream, hdrf_oracle(stream, k)))
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in hdrf_spark(edges_df(powerlaw), k, exact=True).collect()
+    }
+    assert got == want
+
+
+def test_exact_completeness_and_balance(spark, edges_df, powerlaw):
+    k = 8
+    e = edges_df(powerlaw)
+    p = hdrf_spark(e, k, exact=True)
+    assert_complete(e, p, k)
+    m = edge_partition_metrics(p, k).first()
+    assert m["alpha"] <= 1.05 + 8 / m["m"] * k  # cap + integer slack
+
+
+def test_chunked_invariants(spark, edges_df, powerlaw):
+    k = 8
+    e = edges_df(powerlaw)
+    p = hdrf_spark(e, k, exact=False, num_chunks=3)
+    assert_complete(e, p, k)
+    mc = edge_partition_metrics(p, k).first()
+    mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
+    assert mc["replication_factor"] < mh["replication_factor"]
+    assert mc["alpha"] <= 1.3  # budgeted-parallel slack over the 1.05 cap
+
+
+def test_chunked_deterministic(spark, edges_df, powerlaw):
+    e = edges_df(powerlaw)
+    a = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in hdrf_spark(e, 8, exact=False, num_chunks=3).collect()
+    }
+    b = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in hdrf_spark(e, 8, exact=False, num_chunks=3).collect()
+    }
+    assert a == b
+
+
+def test_oracle_hub_replication_preference():
+    """HDRF's defining behavior: the high-degree endpoint gets
+    replicated, low-degree endpoints stay local. On a two-hub graph
+    each hub ends up on multiple partitions, leaves on one."""
+    edges = [(0, i) for i in range(2, 40)] + [(1, i) for i in range(40, 80)]
+    parts = hdrf_oracle(edges, 4)
+    hub0 = {p for (u, v), p in zip(edges, parts) if u == 0}
+    assert len(hub0) > 1
