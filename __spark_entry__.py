@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from linkgraph import queries as q
+    from linkgraph.pipeline import queries as pq
 
     return {
         "edges_cooccur": q.q_edges,
@@ -44,11 +45,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q.q_triangles,
         "triangle_total": q.q_triangle_total,
         "degree_topk": q.q_degree_topk,
+        # training-data pipeline operators
+        "token_counts": pq.q_token_counts,
+        "text_quality": pq.q_quality,
+        "lang_id": pq.q_lang_id,
+        "doc_fingerprints": pq.q_fingerprints,
+        "dedup_exact": pq.q_dedup_exact,
+        "dedup_ngram_jaccard": pq.q_ngram_jaccard,
+        "minhash_signatures": pq.q_minhash_signatures,
+        "minhash_lsh_candidates": pq.q_minhash_lsh_candidates,
+        "simhash": pq.q_simhash,
+        "dedup_embedding": pq.q_embedding_dups,
+        "knn_bruteforce": pq.q_knn,
+        "ann_lsh_buckets": pq.q_ann_buckets,
+        "media_stats": pq.q_media_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from linkgraph.oracle import sql as o
+    from linkgraph.oracle import pipeline_sql as po
 
     return {
         "edges_cooccur": o.sql_edges(),
@@ -63,4 +79,17 @@ def oracle_sql() -> dict[str, str]:
         "triangles": o.sql_triangles(),
         "triangle_total": o.sql_triangle_total(),
         "degree_topk": o.sql_degree_topk(),
+        "token_counts": po.sql_token_counts(),
+        "text_quality": po.sql_quality(),
+        "lang_id": po.sql_lang_id(),
+        "doc_fingerprints": po.sql_fingerprints(),
+        "dedup_exact": po.sql_dedup_exact(),
+        "dedup_ngram_jaccard": po.sql_ngram_jaccard(),
+        "minhash_signatures": po.sql_minhash_signatures(),
+        "minhash_lsh_candidates": po.sql_minhash_lsh_candidates(),
+        "simhash": po.sql_simhash(),
+        "dedup_embedding": po.sql_embedding_dups(),
+        "knn_bruteforce": po.sql_knn(),
+        "ann_lsh_buckets": po.sql_ann_buckets(),
+        "media_stats": po.sql_media_stats(),
     }

@@ -38,6 +38,9 @@ def connected_components(
     if pointer_jumping is None:
         pointer_jumping = fixed_iterations is None
 
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
     sym = symmetrize(edges).cache()
     labels = vertices(edges).withColumn("component", F.col("vid"))
 
@@ -68,7 +71,7 @@ def connected_components(
                 )
             )
         if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = roll(new_labels)
         if fixed_iterations is None:
             changed = (
                 new_labels.alias("a")

@@ -25,6 +25,9 @@ def label_propagation(
     """Returns ``DataFrame[vid: long, label: long]``."""
     from linkgraph.graph import symmetrize, vertices
 
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
     sym = symmetrize(edges).cache()
     labels = vertices(edges).withColumn("label", F.col("vid"))
 
@@ -42,6 +45,6 @@ def label_propagation(
             .select("vid", "label")
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = roll(new_labels)
         labels = new_labels
     return labels.select("vid", "label")

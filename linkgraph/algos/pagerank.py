@@ -51,6 +51,9 @@ def pagerank(
     verts = vertices(edges).cache()
     n = verts.count()
 
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     has_dangling = directed and verts.join(
@@ -82,7 +85,7 @@ def pagerank(
         new_ranks = new_ranks.unionByName(missing) if directed else new_ranks
 
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = roll(new_ranks)
         if tol is not None:
             delta = (
                 new_ranks.alias("a")

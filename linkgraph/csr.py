@@ -80,6 +80,9 @@ def pagerank_csr(
     n = verts.count()
     teleport = (1.0 - damping) / n
 
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     ranks_w_deg = None
 
@@ -123,6 +126,6 @@ def pagerank_csr(
             (F.lit(teleport) + F.lit(damping) * F.sum("partial")).alias("rank")
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = roll(new_ranks)
         ranks = new_ranks
     return ranks.select("vid", "rank")

@@ -1,0 +1,224 @@
+"""DuckDB oracles for the pipeline queries (documents / embeddings).
+
+Hash functions are arithmetic-portable: H(s) = first 8 hex chars of
+md5 as integer — Spark ``conv(substring(md5(s),1,8),16,10)`` ≡ DuckDB
+``('0x'||substr(md5(s),1,8))::BIGINT``. MinHash/SimHash/LSH constants
+match linkgraph.pipeline.{dedup,similarity} exactly.
+"""
+
+from __future__ import annotations
+
+from linkgraph.pipeline.text import LANG_MARKERS
+
+TOKENS_CTE = """tok AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tokens AS MATERIALIZED (
+  SELECT doc_id, pos, t[pos] AS tok FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM tok
+  )
+)"""
+
+SHINGLES_CTE = """sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s,
+           lead(tok, 2) OVER w AS last2
+    FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE last2 IS NOT NULL
+)"""
+
+_HV = "(('0x' || substr(md5({col}), 1, 8))::BIGINT)"
+
+
+def sql_token_counts() -> str:
+    return """SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents"""
+
+
+def sql_quality() -> str:
+    return f"""WITH {TOKENS_CTE}
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(length(tok)), 6) AS mean_token_len,
+  round(CAST(sum(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS stopword_ratio,
+  (count(*) >= 10 AND avg(length(tok)) >= 2.0 AND avg(length(tok)) <= 12.0) AS quality_keep
+FROM tokens GROUP BY doc_id"""
+
+
+def sql_lang_id() -> str:
+    branches = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        branches.append(
+            f"SELECT doc_id, '{code}' AS code, "
+            f"CAST(sum(CASE WHEN tok IN ({lst}) THEN 1 ELSE 0 END) AS BIGINT) AS hits "
+            f"FROM tokens GROUP BY doc_id"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""WITH {TOKENS_CTE}, scores AS MATERIALIZED ({union})
+SELECT doc_id,
+  CASE WHEN hits > 0 THEN code ELSE 'und' END AS lang_pred,
+  hits AS marker_hits
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, code ASC) AS rn
+  FROM scores
+) WHERE rn = 1"""
+
+
+def sql_fingerprints() -> str:
+    return """SELECT doc_id,
+  md5(lower(trim(text))) AS fingerprint,
+  substr(md5(lower(trim(text))), 1, 16) AS fingerprint16
+FROM documents"""
+
+
+def sql_dedup_exact() -> str:
+    return """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+  CAST(count(*) AS BIGINT) AS n_copies,
+  md5(text) AS content_md5
+FROM documents GROUP BY md5(text)"""
+
+
+def sql_ngram_jaccard(threshold: float = 0.1) -> str:
+    return f"""WITH {TOKENS_CTE}, {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}"""
+
+
+_MINHASH_CTES = f"""hashes AS (
+  SELECT i AS hash_id,
+         (1103515245 * i) % 2147483647 + 12345 AS a,
+         (69069 * i) % 2147483647 + 1 AS b
+  FROM (SELECT unnest(generate_series(0, 15)) AS i)
+),
+shh AS MATERIALIZED (
+  SELECT doc_id, {_HV.format(col='s')} % 2147483647 AS hv FROM sh
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, hash_id,
+         CAST(min((a * hv + b) % 2147483647) AS BIGINT) AS minhash
+  FROM shh CROSS JOIN hashes GROUP BY doc_id, hash_id
+)"""
+
+
+def sql_minhash_signatures() -> str:
+    return f"""WITH {TOKENS_CTE}, {SHINGLES_CTE}, {_MINHASH_CTES}
+SELECT doc_id, hash_id, minhash FROM sig"""
+
+
+_BUCKETS_CTE = """buckets AS MATERIALIZED (
+  SELECT doc_id, hash_id // 4 AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_id)) AS bucket
+  FROM sig GROUP BY doc_id, hash_id // 4
+)"""
+
+
+def sql_minhash_lsh_candidates() -> str:
+    return f"""WITH {TOKENS_CTE}, {SHINGLES_CTE}, {_MINHASH_CTES}, {_BUCKETS_CTE}
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_bands
+FROM buckets x JOIN buckets y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+GROUP BY 1, 2"""
+
+
+def sql_simhash(bits: int = 16) -> str:
+    return f"""WITH {TOKENS_CTE},
+th AS MATERIALIZED (
+  SELECT doc_id, {_HV.format(col='tok')} AS hv FROM tokens
+),
+bitsum AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id"""
+
+
+_DIMS_CTE = """dims AS MATERIALIZED (
+  SELECT vec_id, pos - 1 AS dim, CAST(embedding[pos] AS DOUBLE) AS x FROM (
+    SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+    FROM embeddings
+  )
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id
+)"""
+
+
+def sql_knn(n_queries: int = 10, k: int = 5) -> str:
+    return f"""WITH {_DIMS_CTE},
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, sum(q.x * d.x) AS dot
+  FROM dims q JOIN dims d ON q.dim = d.dim
+  WHERE q.vec_id < {n_queries} AND q.vec_id != d.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.nrm * nn.nrm), 4) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / (nq.nrm * nn.nrm), 4) DESC, neighbor_id ASC
+         ) AS BIGINT) AS rnk
+  FROM dots
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nn ON neighbor_id = nn.vec_id
+) WHERE rnk <= {k}"""
+
+
+def sql_embedding_dups(threshold: float = 0.5) -> str:
+    return f"""WITH {_DIMS_CTE},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+  FROM dims a JOIN dims b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON vec_a = na.vec_id
+JOIN norms nb ON vec_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= {threshold}"""
+
+
+def sql_ann_buckets(num_planes: int = 8) -> str:
+    return f"""WITH {_DIMS_CTE},
+grid AS (
+  SELECT plane, dim,
+         CASE WHEN ((1664525 * (plane * 64 + dim) + 1013904223) % 2147483648) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM (SELECT unnest(generate_series(0, {num_planes - 1})) AS plane)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim)
+),
+dots AS (
+  SELECT vec_id, plane, sum(x * c) AS dot
+  FROM dims JOIN grid USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id,
+  CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id"""
+
+
+def sql_media_stats() -> str:
+    return """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS media_md5,  -- md5 of the utf-8 bytes == md5 of the blob
+  CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+  CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_pixels
+FROM documents"""

@@ -1,0 +1,206 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, all Spark-first:
+
+- exact          hash-groupBy on md5(text) — one shuffle
+- ngram-jaccard  word-3-gram shingles → shared-shingle pair join →
+                 exact Jaccard (integer counts — bit-identical across
+                 engines)
+- MinHash + LSH  shingle → 16 universal-hash minima → 4 bands × 4 rows
+                 → band-bucket join; candidates = pairs sharing ≥1 band
+- SimHash        64-bit sign-of-weighted-bit-sums over token hashes;
+                 near-dup = small Hamming distance
+- embedding      cosine ≥ threshold over the embeddings table (see
+                 linkgraph.pipeline.similarity for the kNN machinery)
+
+Token/shingle hashing uses H(s) = int(md5(s)[:8], 16) — computable
+identically in Spark (``conv(substring(md5(s),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,8))::BIGINT``), so MinHash/SimHash signatures
+are engine-exact, not just approximately equal.
+
+Scale shape: shingling is a narrow explode; the pair join is the
+classic LSH trick — join on (band, bucket), never all-pairs. The
+all-pairs ngram variant is the small-data oracle; production dedup at
+10^12 docs goes MinHash→LSH only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from linkgraph.pipeline.text import tokens
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+MERSENNE = 2147483647  # 2^31 - 1
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the
+    canonical (min) doc_id and the duplicate count."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies", F.col("h").alias("content_md5"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (lead-window
+    construction — identical in the SQL oracle)."""
+    toks = tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "doc_id", F.concat_ws(" ", *parts).alias("s"), parts[-1].alias("_last")
+    ).where(F.col("_last").isNotNull())
+    return sh.select("doc_id", "s").distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Exact word-3-gram Jaccard over shared-shingle candidate pairs.
+    Jaccard is a ratio of integers — engine-exact; rounded to 6dp for
+    output."""
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def _token_hash(col) -> F.Column:
+    """H(s) = first 8 hex chars of md5 as integer — engine-portable."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, hash_id, minhash) — 16 universal hashes
+    h_i(x) = (a_i·H(x) + b_i) mod (2^31−1), a_i/b_i LCG-derived from i
+    (identical constants in the SQL oracle)."""
+    # hv reduced mod 2^31-1 BEFORE the multiply so a·hv stays < 2^63
+    sh = shingles(docs).select(
+        "doc_id", (_token_hash(F.col("s")) % F.lit(MERSENNE)).alias("hv")
+    )
+    spark = docs.sparkSession
+    hashes = spark.range(NUM_HASHES).select(
+        F.col("id").alias("hash_id"),
+        (F.lit(1103515245) * F.col("id") % F.lit(MERSENNE) + 12345).alias("a"),
+        (F.lit(69069) * F.col("id") % F.lit(MERSENNE) + 1).alias("b"),
+    )
+    return (
+        sh.crossJoin(F.broadcast(hashes))
+        .select(
+            "doc_id",
+            "hash_id",
+            ((F.col("a") * F.col("hv") + F.col("b")) % F.lit(MERSENNE)).alias("h"),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("h").cast("long").alias("minhash"))
+    )
+
+
+def lsh_buckets(docs: DataFrame) -> DataFrame:
+    """Band buckets: (doc_id, band, bucket) where bucket = md5 of the
+    band's concatenated minhashes."""
+    sig = minhash_signatures(docs)
+    banded = sig.withColumn(
+        "band", F.floor(F.col("hash_id") / ROWS_PER_BAND).cast("long")
+    )
+    # bucket = md5 of the band's minhashes in hash_id order (the SQL
+    # oracle mirrors with string_agg(... ORDER BY hash_id))
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("hash_id", "minhash"))),
+        lambda x: x["minhash"].cast("string"),
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", ordered)).alias("bucket")
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Near-dup candidates: pairs sharing ≥1 LSH band bucket, with the
+    number of shared bands."""
+    b = lsh_buckets(docs).cache()
+    a1 = b.alias("x")
+    a2 = b.alias("y")
+    return (
+        a1.join(
+            a2,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over token hashes: bit b of the signature is 1 iff the
+    sum over tokens of (±1 for bit b of H(token)) is positive. 16 bits
+    keeps the bit-explode bounded; near-dup pairs = small Hamming
+    distance (see tests)."""
+    toks = tokens(docs).select("doc_id", _token_hash(F.col("tok")).alias("hv"))
+    spark = docs.sparkSession
+    bit_ids = spark.range(bits).select(
+        F.col("id").alias("bit"),
+        F.pow(F.lit(2), F.col("id")).cast("long").alias("bitval"),
+    )
+    weighted = toks.crossJoin(F.broadcast(bit_ids)).select(
+        "doc_id",
+        "bit",
+        "bitval",
+        F.when((F.col("hv") / F.col("bitval")).cast("long") % 2 == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+    bitsum = weighted.groupBy("doc_id", "bit", "bitval").agg(F.sum("w").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold (brute-force
+    all-pairs — the oracle path; production uses the LSH-bucketed ANN
+    in linkgraph.pipeline.similarity)."""
+    from linkgraph.pipeline.similarity import cosine_pairs
+
+    p = cosine_pairs(embeddings, embeddings)
+    return (
+        p.where((F.col("a") < F.col("b")) & (F.col("cos") >= threshold))
+        .select(
+            F.col("a").alias("vec_a"),
+            F.col("b").alias("vec_b"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Driver-facing pipeline queries (dedup / similarity / text /
+multimodal) over the documents and embeddings testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from linkgraph.pipeline import dedup, multimodal, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_counts(spark, sf_dir):
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_embedding_dups(spark, sf_dir):
+    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+def q_knn(spark, sf_dir):
+    return similarity.knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_ann_buckets(spark, sf_dir):
+    return similarity.lsh_bucket_ids(_emb(spark, sf_dir))
+
+
+def q_media_stats(spark, sf_dir):
+    return multimodal.media_stats(multimodal.synthesize_media(spark, sf_dir))

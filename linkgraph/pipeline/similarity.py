@@ -1,0 +1,143 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id, embedding: array<float>, label).
+
+- ``cosine_pairs`` / ``knn_bruteforce``: exact cosine via JVM-side
+  higher-order functions (``zip_with`` + ``aggregate`` — whole-stage
+  codegen, no Python). Brute force is the oracle baseline; the join is
+  the classic block-nested product, broadcast on the query side.
+- ``ann_lsh``: sign-random-projection LSH — 8 deterministic
+  pseudo-random hyperplanes whose components come from an LCG over
+  (plane, dim), so Spark and DuckDB produce identical buckets; ANN
+  candidates are pairs sharing a bucket. The scale path: bucket join
+  instead of all-pairs.
+
+Float determinism: cosine outputs rounded to 4dp for oracle compare
+(both engines sum float32 inputs in float64 left-to-right over the
+zipped arrays, so agreement is ~1e-7; 4dp leaves margin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """All-pairs cosine (a from left, b from right) — DataFrame[a, b,
+    cos]. Broadcast the smaller side when calling at scale."""
+    la = left.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    rb = right.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    return la.crossJoin(rb).select(
+        "a",
+        "b",
+        (_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))).alias(
+            "cos"
+        ),
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (query = vec_id < n_queries), excluding self. Deterministic
+    ordering: (rounded cos desc, neighbor id asc)."""
+    queries = embeddings.where(F.col("vec_id") < n_queries)
+    pairs = cosine_pairs(queries, embeddings).where(F.col("a") != F.col("b"))
+    scored = pairs.select(
+        F.col("a").alias("query_id"),
+        F.col("b").alias("neighbor_id"),
+        F.round("cos", 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _plane_component(plane, dim):
+    """Deterministic ±1 hyperplane component from an LCG over
+    (plane, dim) — identical arithmetic in the SQL oracle."""
+    lcg = (F.lit(1664525) * (plane * 64 + dim) + F.lit(1013904223)) % F.lit(2**31)
+    return F.when(lcg % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket_ids(embeddings: DataFrame, num_planes: int = NUM_PLANES) -> DataFrame:
+    """Sign-random-projection bucket per vector: bit j = 1 iff
+    dot(v, plane_j) > 0; bucket = Σ 2^j·bit_j. Explode dims → join the
+    (plane, dim, ±1) constant grid → two-level sum. All integer/exact
+    comparisons except the dot sign, which has ~1e-6 margin on random
+    data."""
+    spark = embeddings.sparkSession
+    dims = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    grid = (
+        spark.range(num_planes)
+        .select(
+            F.col("id").alias("plane"),
+            F.pow(F.lit(2), F.col("id")).cast("long").alias("planeval"),
+        )
+        .crossJoin(spark.range(64).select(F.col("id").alias("dim")))
+        .select(
+            "plane", "planeval", "dim",
+            _plane_component(F.col("plane"), F.col("dim")).alias("c"),
+        )
+    )
+    dots = (
+        dims.join(F.broadcast(grid), "dim")
+        .groupBy("vec_id", "plane", "planeval")
+        .agg(F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("dot") > 0, F.col("planeval")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def ann_lsh_candidates(embeddings: DataFrame) -> DataFrame:
+    """ANN candidate pairs = vectors sharing an LSH bucket (a < b)."""
+    b = lsh_bucket_ids(embeddings).cache()
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.bucket").alias("bucket"),
+        )
+    )

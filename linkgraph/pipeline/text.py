@@ -1,0 +1,106 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (token counting, quality scoring,
+language-ID heuristic, fingerprinting).
+
+All pure column expressions / window functions (JVM-side, codegen) —
+no Python in the hot path. Each has an exact DuckDB oracle
+(``linkgraph.oracle.pipeline_sql``); integer-arithmetic or rounded
+outputs so Spark and DuckDB hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# deterministic language marker words (shared with the SQL oracle);
+# the heuristic is the operator under test, not a production lang-id
+LANG_MARKERS = {
+    "en": ["the", "a"],
+    "es": ["el", "la"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "zh": ["de5", "shi4"],
+}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """1-based positional tokens (whitespace split) — the shared
+    shingling substrate."""
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    return t.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / mean-token-length / stopword-ratio features + a simple
+    keep/drop quality flag (C4-style heuristics, arithmetic only)."""
+    toks = tokens(docs)
+    stop = F.col("tok").isin("the", "a", "of", "and")
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length("tok")), 6).alias("mean_token_len"),
+        F.round(
+            F.sum(stop.cast("int")) / F.count("*"), 6
+        ).alias("stopword_ratio"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("mean_token_len") >= 2.0)
+            & (F.col("mean_token_len") <= 12.0)
+        ).alias("quality_keep"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess: argmax over per-language marker hit
+    counts, ties → lexicographically smallest code, no hits → 'und'."""
+    toks = tokens(docs)
+    scores = None
+    for code, markers in sorted(LANG_MARKERS.items()):
+        s = toks.groupBy("doc_id").agg(
+            F.sum(F.col("tok").isin(*markers).cast("long")).alias("hits")
+        ).select("doc_id", F.lit(code).alias("code"), "hits")
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("code"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.when(F.col("hits") > 0, F.col("code")).otherwise("und").alias(
+                "lang_pred"
+            ),
+            F.col("hits").cast("long").alias("marker_hits"),
+        )
+    )
+    return best
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lower + trim)
+    plus a 16-hex-char short form — the dedup key substrate."""
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint16"),
+    )

@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup recall on planted
+near-duplicates, SimHash locality, ANN recall vs brute force,
+multimodal Arrow plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 random-word docs + 5 planted near-duplicate pairs (one word
+    changed) + 2 exact duplicates."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    did = 0
+    for _ in range(60):
+        rows.append((did, " ".join(rng.choice(vocab, 40))))
+        did += 1
+    near_pairs = []
+    for _ in range(5):
+        base = rng.choice(vocab, 40)
+        a = " ".join(base)
+        mod = base.copy()
+        mod[20] = "CHANGED"
+        b = " ".join(mod)
+        rows.append((did, a))
+        rows.append((did + 1, b))
+        near_pairs.append((did, did + 1))
+        did += 2
+    rows.append((did, rows[0][1]))  # exact dup of doc 0
+    exact_pair = (0, did)
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        near_pairs,
+        exact_pair,
+    )
+
+
+def test_exact_dedup_finds_duplicate(spark, planted_docs):
+    docs, _, (a, b) = planted_docs
+    d = dedup.dedup_exact(docs)
+    dup_row = d.where(F.col("n_copies") > 1).collect()
+    assert len(dup_row) == 1
+    assert dup_row[0]["canonical_doc_id"] == a
+    assert dup_row[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, planted_docs):
+    docs, near_pairs, exact_pair = planted_docs
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for p in near_pairs:
+        assert p in got, f"planted near-dup {p} missed"
+    assert (min(exact_pair), max(exact_pair)) in got
+
+
+def test_minhash_lsh_recall(spark, planted_docs):
+    """Planted near-dups (jaccard ≈ 0.85) must be LSH candidates; the
+    candidate set must be far smaller than all pairs (the point of
+    LSH)."""
+    docs, near_pairs, exact_pair = planted_docs
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    found = sum(1 for p in near_pairs if p in cands)
+    assert found >= 4, f"LSH recall too low: {found}/5"
+    assert (min(exact_pair), max(exact_pair)) in cands
+    n = docs.count()
+    assert len(cands) < n * (n - 1) / 2 / 4, "candidate set not selective"
+
+
+def test_minhash_exact_dup_shares_all_bands(spark, planted_docs):
+    docs, _, (a, b) = planted_docs
+    row = (
+        dedup.minhash_lsh_candidates(docs)
+        .where((F.col("doc_a") == a) & (F.col("doc_b") == b))
+        .first()
+    )
+    assert row is not None and row["shared_bands"] == dedup.NUM_BANDS
+
+
+def test_simhash_locality(spark, planted_docs):
+    """Near-dup docs get nearby simhashes (small Hamming distance);
+    exact dups identical."""
+    docs, near_pairs, (a, b) = planted_docs
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[a] == sh[b]
+    for u, v in near_pairs:
+        ham = bin(sh[u] ^ sh[v]).count("1")
+        assert ham <= 4, f"near-dup pair {(u, v)} hamming {ham} too far"
+
+
+def test_knn_matches_numpy(spark):
+    """Brute-force kNN agrees with a NumPy oracle on the real
+    embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        emb.collect(), key=lambda r: r["vec_id"]
+    )
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    got = similarity.knn_bruteforce(emb, n_queries=5, k=3).collect()
+    for r in got:
+        q = np.where(ids == r["query_id"])[0][0]
+        cos = mat @ mat[q] / (norms * norms[q])
+        cos[q] = -np.inf
+        order = np.lexsort((ids, -np.round(cos, 4)))
+        want_neighbor = ids[order[r["rnk"] - 1]]
+        assert r["neighbor_id"] == want_neighbor
+
+
+def test_ann_bucket_recall(spark):
+    """Vectors with cosine ≥ 0.5 should usually share an 8-plane LSH
+    bucket region... at minimum: identical vectors share buckets, and
+    buckets partition the whole set."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    b = {r["vec_id"]: r["bucket"] for r in similarity.lsh_bucket_ids(doubled).collect()}
+    for vid in list(b):
+        if vid < 100000:
+            assert b[vid] == b[vid + 100000], "identical vectors in different buckets"
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthesize_media(spark, "/root/testdata/sf0.001")
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    for r in rows[:10]:
+        assert r["n_bytes"] > 0
+        assert 0 <= r["mean_byte"] <= 255
+        assert 0 <= r["entropy"] <= 8
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/fake")
+
+
+def test_quality_and_tokens_consistent(spark, planted_docs):
+    docs, _, _ = planted_docs
+    q = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}
+    t = {r["doc_id"]: r for r in text.token_counts(docs).collect()}
+    for did in q:
+        assert q[did]["n_tokens"] == t[did]["n_tokens"]
+        assert q[did]["quality_keep"] in (True, False)

@@ -92,3 +92,28 @@ def test_cc_checkpointed_converges_and_resumes(spark, edges_df, ckpt_dir):
     }
     assert again == got
     assert CheckpointManager(spark, ckpt_dir, "cc").latest() == latest
+
+
+def test_lpa_checkpointed_resume(spark, edges_df, ckpt_dir):
+    from linkgraph.oracle.numpy_ref import lpa_py
+    from linkgraph.pregel import lpa_checkpointed
+
+    edges = graph_edges("two_cliques_bridge")
+    e = edges_df(edges)
+    full = {
+        r["vid"]: r["label"]
+        for r in lpa_checkpointed(
+            spark, e, CheckpointManager(spark, ckpt_dir, "lpa-full"), iterations=6
+        ).collect()
+    }
+    assert full == lpa_py(edges, iterations=6)
+    # crash at 2, resume to 6 → identical
+    lpa_checkpointed(spark, e, CheckpointManager(spark, ckpt_dir, "lpa-crash"),
+                     iterations=2)
+    resumed = {
+        r["vid"]: r["label"]
+        for r in lpa_checkpointed(
+            spark, e, CheckpointManager(spark, ckpt_dir, "lpa-crash"), iterations=6
+        ).collect()
+    }
+    assert resumed == full

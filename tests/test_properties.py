@@ -1,0 +1,72 @@
+"""Property-based invariants on random small graphs (SURVEY.md §5):
+RF ≥ 1, alpha ≥ 1, grid bound, PageRank mass conservation, CC count
+parity with the oracle. Seeded and example-capped (each example spins
+Spark jobs)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linkgraph.algos.pagerank import pagerank
+from linkgraph.algos.cc import connected_components
+from linkgraph.graph import degrees
+from linkgraph.oracle.numpy_ref import components_py
+from linkgraph.partition.metrics import edge_partition_metrics
+from linkgraph.partition.strategies import dbh, grid, hash_edges
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30))
+    .map(lambda t: (min(t), max(t)))
+    .filter(lambda t: t[0] != t[1]),
+    min_size=3,
+    max_size=60,
+    unique=True,
+)
+
+SET = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@given(edges=edge_lists)
+@SET
+def test_partition_invariants(spark, edges_df, edges):
+    e = edges_df(edges)
+    m = len(edges)
+    for name, p, k in [
+        ("hash", hash_edges(e, 4), 4),
+        ("dbh", dbh(e, degrees(e), 4), 4),
+        ("grid", grid(e, 4), 4),
+    ]:
+        row = edge_partition_metrics(p, k).first()
+        assert row["m"] == m
+        assert row["replication_factor"] >= 1.0
+        assert row["alpha"] >= 1.0 - 1e-9
+        if name == "grid":
+            assert row["replication_factor"] <= 2 * 2 - 1 + 1e-9
+
+
+@given(edges=edge_lists)
+@SET
+def test_pagerank_mass_conserved(spark, edges_df, edges):
+    from pyspark.sql import functions as F
+
+    total = (
+        pagerank(edges_df(edges), iterations=8)
+        .agg(F.sum("rank"))
+        .first()[0]
+    )
+    assert abs(total - 1.0) < 1e-9
+
+
+@given(edges=edge_lists)
+@SET
+def test_cc_component_count(spark, edges_df, edges):
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(edges_df(edges)).collect()
+    }
+    want = components_py(edges)
+    assert got == want
