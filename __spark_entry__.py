@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q.q_triangles,
         "triangle_total": q.q_triangle_total,
         "degree_topk": q.q_degree_topk,
+        "events_windowed": q.q_events_windowed,
+        "events_sessionize": q.q_events_sessionize,
         # training-data pipeline operators
         "token_counts": pq.q_token_counts,
         "text_quality": pq.q_quality,
@@ -79,6 +81,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles": o.sql_triangles(),
         "triangle_total": o.sql_triangle_total(),
         "degree_topk": o.sql_degree_topk(),
+        "events_windowed": o.sql_events_windowed(),
+        "events_sessionize": o.sql_events_sessionize(),
         "token_counts": po.sql_token_counts(),
         "text_quality": po.sql_quality(),
         "lang_id": po.sql_lang_id(),

@@ -207,3 +207,29 @@ ranked AS (
   FROM deg
 )
 SELECT vid, degree, rnk FROM ranked WHERE rnk <= 20"""
+
+
+def sql_events_windowed() -> str:
+    return """SELECT date_trunc('hour', ts) AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def sql_events_sessionize() -> str:
+    return """WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - lag(epoch(ts), 1, 0) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id"""

@@ -160,3 +160,46 @@ def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("vid", "degree", "rnk")
     )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type over the events table —
+    the batch twin of linkgraph.streaming.windowed_counts_stream
+    (identical semantics; date_trunc for oracle parity)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, a new session starts after a >30 min
+    gap (lag + running sum of gap flags — SURVEY.md §2.3 window
+    surface). Output: per-user session count + longest session in
+    events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, 0).over(w)
+            > 1800
+        ).cast("int"),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
