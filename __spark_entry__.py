@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_dbh": q.q_partition_dbh,
         "partition_grid": q.q_partition_grid,
         "partition_hdrf": q.q_partition_hdrf,
+        "partition_greedy": q.q_partition_greedy,
         "partition_metrics": q.q_partition_metrics,
         "pagerank": q.q_pagerank,
         "components": q.q_components,

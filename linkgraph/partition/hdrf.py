@@ -78,6 +78,7 @@ def _sequential_assign(
     max_partition_load: int,
     lamb: float,
     budget: np.ndarray | None = None,
+    mode: str = "hdrf",
 ) -> np.ndarray:
     """Exact sequential HDRF over dense-indexed edges, updating state
     in place. Inner per-edge scoring vectorized over k."""
@@ -98,20 +99,36 @@ def _sequential_assign(
         s = float(du + dv)
         mu = (mirrors[u, part_word] & part_bit) != 0
         mv = (mirrors[v, part_word] & part_bit) != 0
-        gu = np.where(mu, 1.0 + (1.0 - du / s), 0.0)
-        gv = np.where(mv, 1.0 + (1.0 - dv / s), 0.0)
-        bal = (max_load - loads).astype(np.float64)
-        if min_load is not None:
-            bal /= EPSILON + max_load - min_load
-        score = gu + gv + lamb * bal
-        full = loads >= max_partition_load
+        full = loads >= max_partition_load if mode == "hdrf" else np.zeros(k, bool)
         if budget is not None:
             full = full | (local_cnt >= budget)
-        score[full] = -np.inf
-        if full.all():  # every partition at capacity → least loaded
-            p = int(np.argmin(loads + local_cnt)) if budget is not None else 0
+        if mode == "greedy":
+            # PowerGraph greedy (reference algorithms/greedy/greedy.cpp:17-91):
+            # common partitions → least-loaded common; else any placed →
+            # least-loaded of the union; else least-loaded overall.
+            # Ties → lowest id (strict < scan, greedy.cpp:73-84).
+            inter = mu & mv & ~full
+            uni = (mu | mv) & ~full
+            if inter.any():
+                cand = inter
+            elif uni.any():
+                cand = uni
+            else:
+                cand = ~full if not full.all() else np.ones(k, bool)
+            masked = np.where(cand, loads, np.iinfo(np.int64).max)
+            p = int(np.argmin(masked))
         else:
-            p = int(np.argmax(score))
+            gu = np.where(mu, 1.0 + (1.0 - du / s), 0.0)
+            gv = np.where(mv, 1.0 + (1.0 - dv / s), 0.0)
+            bal = (max_load - loads).astype(np.float64)
+            if min_load is not None:
+                bal /= EPSILON + max_load - min_load
+            score = gu + gv + lamb * bal
+            score[full] = -np.inf
+            if full.all():  # every partition at capacity → least loaded
+                p = int(np.argmin(loads + local_cnt)) if budget is not None else 0
+            else:
+                p = int(np.argmax(score))
         out[i] = p
         if budget is not None:
             local_cnt[p] += 1
@@ -131,6 +148,7 @@ def hdrf_oracle(
     k: int,
     lamb: float = LAMBDA,
     balance_ratio: float = BALANCE_RATIO,
+    mode: str = "hdrf",
 ) -> list[int]:
     """Sequential HDRF over a Python edge list (stream order = list
     order). Returns the partition per edge. Test oracle + semantics
@@ -141,7 +159,7 @@ def hdrf_oracle(
     dst = np.array([idx[v] for _, v in edges], dtype=np.int64)
     state = _HdrfState(len(vids), k)
     cap = max(1, int(balance_ratio * len(edges) / k))
-    return _sequential_assign(src, dst, state, cap, lamb).tolist()
+    return _sequential_assign(src, dst, state, cap, lamb, mode=mode).tolist()
 
 
 # ------------------------------------------------------------- spark
@@ -153,6 +171,7 @@ def hdrf_spark(
     balance_ratio: float = BALANCE_RATIO,
     exact: bool = True,
     num_chunks: int = 8,
+    mode: str = "hdrf",
 ) -> DataFrame:
     """HDRF on Spark → DataFrame[src, dst, partition].
 
@@ -161,11 +180,13 @@ def hdrf_spark(
     approximation (see module docstring).
     """
     if exact:
-        return _hdrf_exact(edges, k, lamb, balance_ratio)
-    return _hdrf_chunked(edges, k, lamb, balance_ratio, num_chunks)
+        return _hdrf_exact(edges, k, lamb, balance_ratio, mode)
+    return _hdrf_chunked(edges, k, lamb, balance_ratio, num_chunks, mode)
 
 
-def _hdrf_exact(edges: DataFrame, k: int, lamb: float, balance_ratio: float) -> DataFrame:
+def _hdrf_exact(
+    edges: DataFrame, k: int, lamb: float, balance_ratio: float, mode: str = "hdrf"
+) -> DataFrame:
     m = edges.count()
     cap = max(1, int(balance_ratio * m / k))
 
@@ -178,7 +199,7 @@ def _hdrf_exact(edges: DataFrame, k: int, lamb: float, balance_ratio: float) -> 
         src = np.searchsorted(vids, pdf["src"].to_numpy())
         dst = np.searchsorted(vids, pdf["dst"].to_numpy())
         state = _HdrfState(len(vids), k)
-        parts = _sequential_assign(src, dst, state, cap, lamb)
+        parts = _sequential_assign(src, dst, state, cap, lamb, mode=mode)
         return pd.DataFrame(
             {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(), "partition": parts}
         )
@@ -193,7 +214,8 @@ def _hdrf_exact(edges: DataFrame, k: int, lamb: float, balance_ratio: float) -> 
 
 
 def _hdrf_chunked(
-    edges: DataFrame, k: int, lamb: float, balance_ratio: float, num_chunks: int
+    edges: DataFrame, k: int, lamb: float, balance_ratio: float, num_chunks: int,
+    mode: str = "hdrf",
 ) -> DataFrame:
     """Chunked-streaming HDRF (the scale path).
 
@@ -248,7 +270,7 @@ def _hdrf_chunked(
             (vids, state.pdeg.copy(), state.mirrors.copy(), state.loads.copy(), budget)
         )
 
-        def make_run_group(_b, _k, _lamb, _cap):
+        def make_run_group(_b, _k, _lamb, _cap, _mode=mode):
             def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 bv, bpdeg, bmirrors, bloads, bbudget = _b.value
                 order = np.lexsort(
@@ -259,7 +281,7 @@ def _hdrf_chunked(
                 st.pdeg, st.mirrors, st.loads = bpdeg.copy(), bmirrors.copy(), bloads.copy()
                 src = np.searchsorted(bv, pdf["src"].to_numpy())
                 dst = np.searchsorted(bv, pdf["dst"].to_numpy())
-                parts = _sequential_assign(src, dst, st, _cap, _lamb, budget=bbudget)
+                parts = _sequential_assign(src, dst, st, _cap, _lamb, budget=bbudget, mode=_mode)
                 return pd.DataFrame(
                     {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(),
                      "partition": parts}

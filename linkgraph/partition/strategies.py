@@ -138,4 +138,8 @@ def partition_edges(
         from linkgraph.partition.hdrf import hdrf_spark
 
         return hdrf_spark(edges, k)
+    if strategy == "greedy":
+        from linkgraph.partition.hdrf import hdrf_spark
+
+        return hdrf_spark(edges, k, mode="greedy")
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -148,6 +148,14 @@ def q_partition_hdrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=True)
 
 
+def q_partition_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PowerGraph-greedy vertex-cut (reference algorithms/greedy/
+    greedy.cpp:17-91), exact mode — rows-only check like HDRF."""
+    from linkgraph.partition.hdrf import hdrf_spark
+
+    return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=True, mode="greedy")
+
+
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices by degree (deterministic tie-break by vid) —
     the skew report / window-function surface (SURVEY.md §2.3)."""

@@ -77,3 +77,29 @@ def test_oracle_hub_replication_preference():
     parts = hdrf_oracle(edges, 4)
     hub0 = {p for (u, v), p in zip(edges, parts) if u == 0}
     assert len(hub0) > 1
+
+
+def test_greedy_rules():
+    """Reference greedy rules (greedy.cpp:17-70) on a hand-traced
+    stream, k=2: [0-1] → least-loaded (p0); [2-3] → p1 (balance);
+    [1-2] spans p0∪p1, least-loaded tie → p0; [0-2] now common p0."""
+    edges = [(0, 1), (2, 3), (1, 2), (0, 2)]
+    parts = hdrf_oracle(edges, 2, mode="greedy")
+    assert parts == [0, 1, 0, 0]
+
+
+def test_greedy_exact_matches_oracle(spark, edges_df, powerlaw):
+    stream = _stream_order(spark, powerlaw)
+    want = dict(zip(stream, hdrf_oracle(stream, 4, mode="greedy")))
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in hdrf_spark(edges_df(powerlaw), 4, exact=True, mode="greedy").collect()
+    }
+    assert got == want
+
+
+def test_greedy_beats_hash_rf(spark, edges_df, powerlaw):
+    e = edges_df(powerlaw)
+    mg = edge_partition_metrics(hdrf_spark(e, 8, exact=True, mode="greedy"), 8).first()
+    mh = edge_partition_metrics(hash_edges(e, 8, "xxhash64"), 8).first()
+    assert mg["replication_factor"] < mh["replication_factor"]
