@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_grid": q.q_partition_grid,
         "partition_hdrf": q.q_partition_hdrf,
         "partition_greedy": q.q_partition_greedy,
+        "partition_ldg": q.q_partition_ldg,
+        "partition_fennel": q.q_partition_fennel,
+        "vertex_cut_metrics": q.q_vertex_cut_metrics,
         "partition_metrics": q.q_partition_metrics,
         "pagerank": q.q_pagerank,
         "components": q.q_components,

@@ -1,0 +1,151 @@
+"""Streaming vertex partitioners (edge-cut model): LDG and Fennel.
+
+Reference semantics:
+
+- LDG (/root/reference/algorithms/ldg/ldg.cpp:80-114): shuffle the
+  vertex stream; seed partitions 0..k-1 with the first k vertices;
+  then assign each vertex to argmax_j of
+  ``(|N(v) ∩ P_j| + 1e-6) · (1 − size_j / capacity)`` with
+  ``capacity = n/k + 1`` (vertexPartitioner.cpp:10); ties → lowest j
+  (first max_element).
+- Fennel (/root/reference/algorithms/fennel/fennel.cpp:91-133): same
+  seeding; γ = 1.5, α = m·k^(γ−1)/n^γ, load_limit = 1.1·n/k
+  (fennel.cpp:108-111); score_j = |N(v) ∩ P_j| − α·γ·size_j^(γ−1) for
+  partitions within the limit. Divergence note: the reference leaves
+  over-limit partitions at score 0 (fennel.cpp:119-127), which *beats*
+  all-negative eligible scores, so one partition runs away (balance
+  >2 measured) — a bug relative to the Fennel paper, which excludes
+  ineligible partitions. We default to the paper-correct −inf
+  (``faithful_quirk=False``); pass ``faithful_quirk=True`` to
+  reproduce the reference behavior bit-for-bit.
+
+The reference shuffles with an unseeded RNG (ldg.cpp:87-89); we use a
+seeded permutation (reproducibility rule, SURVEY.md §4).
+
+Execution modes mirror HDRF: a pure-Python/NumPy oracle and an exact
+single-group Spark mode (adjacency lists collected per group via
+``collect_list`` → sequential NumPy loop inside applyInPandas). Both
+are sequential by nature (every decision reads all prior ones); the
+chunked-parallel generalization used for HDRF applies identically and
+is left as the documented scale path (vertex partitioning is not in
+the mandated strategy set — SURVEY.md §2.2 V1/V2, tier T2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GAMMA = 1.5
+FENNEL_SLACK = 1.1
+LDG_EPS = 1e-6
+DEFAULT_SEED = 985  # reference DEFAULT_SEED, base_graph.hpp:48
+
+
+def _assign_stream(
+    order: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    k: int,
+    mode: str,
+    m_edges: int,
+    faithful_quirk: bool = False,
+) -> np.ndarray:
+    """Sequential vertex assignment over dense-indexed CSR adjacency.
+    ``order``: the shuffled stream of vertex indices."""
+    n = len(indptr) - 1
+    member = np.zeros((k, n), dtype=bool)
+    sizes = np.zeros(k, dtype=np.int64)
+    out = np.full(n, -1, dtype=np.int64)
+    capacity = n // k + 1
+    alpha = m_edges * (k ** (GAMMA - 1)) / (n**GAMMA)
+    load_limit = FENNEL_SLACK * n / k
+
+    for i, v in enumerate(order):
+        if i < k:
+            p = i
+        else:
+            nbrs = indices[indptr[v] : indptr[v + 1]]
+            inter = member[:, nbrs].sum(axis=1).astype(np.float64)
+            if mode == "ldg":
+                scores = (inter + LDG_EPS) * (1.0 - sizes / capacity)
+            else:  # fennel
+                base = 0.0 if faithful_quirk else -np.inf
+                scores = np.full(k, base)
+                ok = sizes <= load_limit
+                if not ok.any():
+                    ok = sizes == sizes.min()
+                scores[ok] = inter[ok] - alpha * GAMMA * np.power(
+                    sizes[ok].astype(np.float64), GAMMA - 1
+                )
+            p = int(np.argmax(scores))
+        out[v] = p
+        member[p, v] = True
+        sizes[p] += 1
+    return out
+
+
+def _prep(edges: list[tuple[int, int]]):
+    vids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    darts = [(idx[u], idx[v]) for u, v in edges] + [
+        (idx[v], idx[u]) for u, v in edges
+    ]
+    src = np.array([d[0] for d in darts])
+    dst = np.array([d[1] for d in darts])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    counts = np.bincount(src, minlength=n)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    return np.array(vids), indptr, dst
+
+
+def vertex_partition_oracle(
+    edges: list[tuple[int, int]], k: int, mode: str = "ldg",
+    seed: int = DEFAULT_SEED, faithful_quirk: bool = False,
+) -> dict[int, int]:
+    """Pure-Python/NumPy oracle → {vid: partition}."""
+    vids, indptr, indices = _prep(edges)
+    order = np.random.default_rng(seed).permutation(len(vids))
+    parts = _assign_stream(
+        order, indptr, indices, k, mode, len(edges), faithful_quirk
+    )
+    return {int(vids[i]): int(parts[i]) for i in range(len(vids))}
+
+
+def vertex_partition_spark(
+    edges: DataFrame, k: int, mode: str = "ldg", seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """Exact Spark mode → DataFrame[vid, partition]; bit-identical to
+    the oracle (same seeded stream, same scoring)."""
+    from linkgraph.graph import symmetrize
+
+    m = edges.count()
+    adj = (
+        symmetrize(edges)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .withColumn("_g", F.lit(0))
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("src")
+        vids = pdf["src"].to_numpy()
+        pos = {v: i for i, v in enumerate(vids)}
+        nbr_lists = [
+            np.array([pos[x] for x in nb], dtype=np.int64) for nb in pdf["nbrs"]
+        ]
+        indptr = np.concatenate(
+            ([0], np.cumsum([len(nb) for nb in nbr_lists]))
+        ).astype(np.int64)
+        indices = (
+            np.concatenate(nbr_lists) if nbr_lists else np.array([], dtype=np.int64)
+        )
+        order = np.random.default_rng(seed).permutation(len(vids))
+        parts = _assign_stream(order, indptr, indices, k, mode, m)
+        return pd.DataFrame({"vid": vids, "partition": parts})
+
+    return adj.groupBy("_g").applyInPandas(run, schema="vid long, partition long")

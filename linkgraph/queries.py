@@ -156,6 +156,40 @@ def q_partition_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=True, mode="greedy")
 
 
+def q_partition_ldg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDG streaming vertex partitioner (reference algorithms/ldg/
+    ldg.cpp:80-114), exact seeded mode — rows-only check."""
+    from linkgraph.partition.vertex import vertex_partition_spark
+
+    return vertex_partition_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="ldg")
+
+
+def q_partition_fennel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fennel streaming vertex partitioner (fennel.cpp:91-133,
+    paper-correct eligibility), exact seeded mode — rows-only check."""
+    from linkgraph.partition.vertex import vertex_partition_spark
+
+    return vertex_partition_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="fennel")
+
+
+def q_vertex_cut_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut rate + vertex balance (vertexPartitioner.cpp:34-51)
+    for LDG and Fennel — rows-only (partitioner not SQL-expressible)."""
+    from linkgraph.partition.metrics import vertex_partition_metrics
+    from linkgraph.partition.vertex import vertex_partition_spark
+
+    e = edges_from_lineitem(spark, sf_dir).cache()
+    out = None
+    for mode in ("ldg", "fennel"):
+        vp = vertex_partition_spark(e, K_HASH, mode=mode)
+        row = vertex_partition_metrics(e, vp, K_HASH).withColumn(
+            "strategy", F.lit(mode)
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select("strategy", "m", "edge_cut", "edge_cut_rate", "n",
+                      "max_vertex", "load_balance")
+
+
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices by degree (deterministic tie-break by vid) —
     the skew report / window-function surface (SURVEY.md §2.3)."""
