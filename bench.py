@@ -189,11 +189,13 @@ def run_scaling() -> None:
     local[2] (N) and local[8] (4N), 3 interleaved repetitions each
     (this sandbox VM shows heavy CPU steal — interleaving + best-of
     controls for it), launched via spark-submit (north-rule launch
-    path). Reports raw efficiency and machine-normalized efficiency
-    (raw divided by the pure-CPU control's capacity ratio)."""
+    path). Child JSONs land in /tmp/scalruns; the report (raw +
+    machine-normalized efficiency) is written by
+    tools/scaling_report.py, which can also be re-run standalone."""
+    out_dir = Path("/tmp/scalruns")
+    out_dir.mkdir(exist_ok=True)
     n_cores, n4_cores = 2, 8
-    runs: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
-    for rep in range(3):
+    for rep in (1, 2, 3):
         for cores in (n_cores, n4_cores):
             out = subprocess.run(
                 ["spark-submit", "--master", f"local[{cores}]",
@@ -210,79 +212,12 @@ def run_scaling() -> None:
                      "SPARK_GRAFT_BENCH_FAST": "1"},
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            runs[cores].append(json.loads(line))
-
-    def best(cores: int) -> dict:
-        return max(runs[cores], key=lambda r: r["edges_per_sec_per_superstep"])
-
-    b_n, b_4n = best(n_cores), best(n4_cores)
-    t_n = b_n["edges_per_sec_per_superstep"]
-    t_4n = b_4n["edges_per_sec_per_superstep"]
-    eff_raw = (t_4n / t_n) / (n4_cores / n_cores)
-    ctrl_n = min(r["cpu_control_sec"] for r in runs[n_cores])
-    ctrl_4n = min(r["cpu_control_sec"] for r in runs[n4_cores])
-    machine_ratio = ctrl_n / ctrl_4n  # >1: machine speeds up with cores
-    eff_norm = (t_4n / t_n) / machine_ratio if machine_ratio > 0 else None
-    report = {
-        "cores_n": n_cores, "cores_4n": n4_cores,
-        "throughput_n": t_n, "throughput_4n": t_4n,
-        "speedup": round(t_4n / t_n, 3),
-        "scaling_efficiency_raw": round(eff_raw, 3),
-        "machine_capacity_ratio": round(machine_ratio, 3),
-        "machine_ceiling_efficiency": round(machine_ratio / (n4_cores / n_cores), 3),
-        "scaling_efficiency_machine_normalized": round(eff_norm, 3),
-        "rf_identical": b_n["replication_factor"] == b_4n["replication_factor"],
-        "reps": 3,
-    }
-    print(json.dumps({**b_4n, "scaling": report}))
-    _write_baseline_md(runs, b_n, b_4n, report)
-
-
-def _write_baseline_md(runs: dict, b_n: dict, b_4n: dict, report: dict) -> None:
-    bench_dir = REPO / "BENCH"
-    bench_dir.mkdir(exist_ok=True)
-    all_n = [r["edges_per_sec_per_superstep"] for r in runs[report["cores_n"]]]
-    all_4n = [r["edges_per_sec_per_superstep"] for r in runs[report["cores_4n"]]]
-    md = f"""# BENCH/BASELINE.md — measured throughput + scaling evidence
-
-Input: deterministic co-occurrence link graph from `{SF_DIR}`, replicated
-into {os.environ.get("SPARK_GRAFT_SCALE_COPIES", "32")} disjoint shifted
-copies → {b_4n["edges"]:,} canonical / {b_4n["directed_edges"]:,} directed
-edges — byte-identical for every run. Launched via
-`spark-submit --master local[N] bench.py --single` (the north-rule
-launch path; local[{report["cores_n"]}] and local[{report["cores_4n"]}]
-stand in for N and 4N executors per the driver's sandbox protocol).
-3 interleaved repetitions per level; best-of reported (this VM shows
-heavy CPU steal — see control below).
-
-| parallelism | edges/sec per PageRank superstep (all reps) | best |
-|---|---|---|
-| local[{report["cores_n"]}] (N) | {", ".join(f"{x:,.0f}" for x in all_n)} | {report["throughput_n"]:,.0f} |
-| local[{report["cores_4n"]}] (4N) | {", ".join(f"{x:,.0f}" for x in all_4n)} | {report["throughput_4n"]:,.0f} |
-
-- Speedup N→4N: **{report["speedup"]}×**; raw efficiency = {report["scaling_efficiency_raw"]}.
-- **Machine-ceiling control** (pure-CPU, shuffle-free codegen aggregate —
-  no engine code in the loop): capacity ratio N→4N =
-  {report["machine_capacity_ratio"]}× of a possible 4× — the shared
-  sandbox VM itself delivers only
-  {report["machine_ceiling_efficiency"]} efficiency at 4× threads
-  (CPU steal / SMT sharing).
-- **Engine efficiency normalized to the machine ceiling:
-  {report["scaling_efficiency_machine_normalized"]}** (target ≥ 0.8) —
-  the engine introduces no serialization beyond what the VM imposes on
-  *any* parallel work; on a real 4× cluster (4× memory bandwidth, no
-  steal) the raw number converges to this one.
-- Replication factors identical at both levels (determinism):
-  {report["rf_identical"]} — {json.dumps(b_4n["replication_factor"])}
-
-Reference single-node baseline (BASELINE.md §1): NE ≈ 956k edges/s
-partitioning throughput on com-orkut (-O0, single thread). This
-engine's PageRank superstep throughput at local[{report["cores_4n"]}]:
-{report["throughput_4n"]:,.0f} edges/s.
-
-Per-query seconds (best 4N run): {json.dumps(b_4n["queries"])}
-"""
-    (bench_dir / "BASELINE.md").write_text(md)
+            (out_dir / f"rep{rep}_c{cores}.json").write_text(line)
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "scaling_report.py"),
+         str(out_dir), str(n_cores), str(n4_cores)],
+        check=True,
+    )
 
 
 if __name__ == "__main__":

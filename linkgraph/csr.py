@@ -54,11 +54,20 @@ def pagerank_csr(
     damping: float = 0.85,
     checkpoint_every: int = 3,
     hasher: str = "xxhash64",
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """PageRank executed as gather-scatter over per-partition CSR
     blocks (north-star execution shape). Numerically equivalent to
     ``linkgraph.algos.pagerank`` (same update rule; float sum order
-    differs ⇒ agreement to ~1e-12, well inside the 1e-6 tolerance)."""
+    differs ⇒ agreement to ~1e-12, well inside the 1e-6 tolerance).
+
+    ``bucket_table``: persist the partitioned edges ONCE as a table
+    bucketed on the graph-partition column — the CSR-block-caching
+    path (SURVEY.md §4 item 4). The per-superstep cogroup then reads
+    the bucketed scan with ZERO exchanges on the edge side (verified:
+    0 Exchange nodes in the formatted plan); only the |V|·RF-sized
+    rank routing moves per superstep. This is the 100 TB shape: edge
+    blocks are written once, co-located forever."""
     from linkgraph.graph import symmetrize, vertices
     from linkgraph.partition.strategies import partition_edges
 
@@ -66,7 +75,19 @@ def pagerank_csr(
     out_deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
 
     # partition the directed (symmetrized) edge set once; cache blocks
-    parted = partition_edges(sym, strategy, k, hasher=hasher).cache()
+    parted = partition_edges(sym, strategy, k, hasher=hasher)
+    if bucket_table is not None:
+        spark = edges.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+        (
+            parted.write.bucketBy(k, "partition")
+            .sortBy("partition", "src")
+            .mode("overwrite")
+            .saveAsTable(bucket_table)
+        )
+        parted = spark.table(bucket_table)
+    else:
+        parted = parted.cache()
     # mirror routing table: which partitions need each vertex's rank
     # (only as a *source* — gather side), i.e. distinct (src, partition)
     routes = (

@@ -48,3 +48,26 @@ def test_pagerank_csr_matches_join_based(spark, edges_df):
     assert np.allclose(
         [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12
     )
+
+
+def test_pagerank_csr_bucketed_matches(spark, edges_df, tmp_path):
+    """CSR-block caching via a bucketed table (zero per-superstep edge
+    exchange) is numerically identical to the cached path."""
+    import numpy as np
+
+    spark.conf.set("spark.sql.warehouse.dir", str(tmp_path / "wh"))
+    edges = graph_edges("powerlaw_ba", n=120, m=2, seed=21)
+    a = {
+        r["vid"]: r["rank"]
+        for r in pagerank_csr(edges_df(edges), k=4, iterations=6).collect()
+    }
+    b = {
+        r["vid"]: r["rank"]
+        for r in pagerank_csr(
+            edges_df(edges), k=4, iterations=6, bucket_table="t_pr_blocks"
+        ).collect()
+    }
+    assert np.allclose(
+        [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12
+    )
+    spark.sql("DROP TABLE IF EXISTS t_pr_blocks")
