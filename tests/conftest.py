@@ -14,7 +14,10 @@ def spark():
         "linkgraph-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.warehouse.dir": "/tmp/lg-test-warehouse",
+        },
     )
     yield s
     s.stop()

@@ -50,12 +50,11 @@ def test_pagerank_csr_matches_join_based(spark, edges_df):
     )
 
 
-def test_pagerank_csr_bucketed_matches(spark, edges_df, tmp_path):
+def test_pagerank_csr_bucketed_matches(spark, edges_df):
     """CSR-block caching via a bucketed table (zero per-superstep edge
     exchange) is numerically identical to the cached path."""
     import numpy as np
 
-    spark.conf.set("spark.sql.warehouse.dir", str(tmp_path / "wh"))
     edges = graph_edges("powerlaw_ba", n=120, m=2, seed=21)
     a = {
         r["vid"]: r["rank"]
