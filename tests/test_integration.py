@@ -1,0 +1,57 @@
+"""End-to-end north-star flow: synthetic source-repo corpus →
+sha256-verified edge extraction → partitioning + quality metrics →
+checkpointed PageRank / CC — all against ground truth known a priori
+from the corpus generator."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from linkgraph.extract import extract_edges
+from linkgraph.oracle.numpy_ref import components_py, pagerank_np
+from linkgraph.partition.metrics import assert_complete, edge_partition_metrics
+from linkgraph.partition.strategies import partition_edges
+from linkgraph.pregel import CheckpointManager, cc_checkpointed, pagerank_checkpointed
+from linkgraph.synth import source_repo_table
+
+
+def test_corpus_to_analytics_end_to_end(spark, tmp_path):
+    files, truth = source_repo_table(
+        spark, shape="powerlaw_ba", n=150, m=2, seed=99
+    )
+    edges = extract_edges(files, enforce_sha=True).cache()
+    truth_set = {(min(u, v), max(u, v)) for u, v in truth}
+    assert {(r["src"], r["dst"]) for r in edges.collect()} == truth_set
+
+    # partition + quality on the extracted graph
+    for strategy, k in [("hash", 8), ("dbh", 8), ("grid", 16), ("hdrf", 8)]:
+        assigned = partition_edges(edges, strategy, k)
+        assert_complete(edges, assigned, k)
+        m = edge_partition_metrics(assigned, k).first()
+        assert m["m"] == len(truth_set)
+        assert m["replication_factor"] >= 1.0
+
+    # checkpointed analytics vs NumPy ground truth on the SAME edges
+    truth_list = sorted(truth_set)
+    ranks = pagerank_checkpointed(
+        spark, edges, CheckpointManager(spark, str(tmp_path), "e2e-pr"),
+        iterations=12,
+    )
+    got = {r["vid"]: r["rank"] for r in ranks.collect()}
+    want = pagerank_np(truth_list, iterations=12)
+    assert np.allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+
+    comp = cc_checkpointed(
+        spark, edges, CheckpointManager(spark, str(tmp_path), "e2e-cc")
+    )
+    assert {r["vid"]: r["component"] for r in comp.collect()} == components_py(
+        truth_list
+    )
+
+    # the sha invariant actually guards: a corpus whose content drifted
+    # post-extraction fails loudly
+    drifted = files.withColumn("content", F.concat(F.col("content"), F.lit(" ")))
+    from linkgraph.extract import parse_imports, verify_sha
+
+    assert verify_sha(drifted, parse_imports(files)) > 0
