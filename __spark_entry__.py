@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": q.q_triangle_total,
         "degree_topk": q.q_degree_topk,
         "events_windowed": q.q_events_windowed,
+        "edges_events": q.q_edges_events,
+        "events_graph_components": q.q_events_graph_components,
         "events_sessionize": q.q_events_sessionize,
         # training-data pipeline operators
         "token_counts": pq.q_token_counts,
@@ -86,6 +88,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": o.sql_triangle_total(),
         "degree_topk": o.sql_degree_topk(),
         "events_windowed": o.sql_events_windowed(),
+        "edges_events": o.sql_edges_events(),
+        "events_graph_components": o.sql_events_graph_components(),
         "events_sessionize": o.sql_events_sessionize(),
         "token_counts": po.sql_token_counts(),
         "text_quality": po.sql_quality(),

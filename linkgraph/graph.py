@@ -95,3 +95,26 @@ def shuffle_edges(edges: DataFrame, seed: int = 985) -> DataFrame:
     partitioners (HDRF) are exercised order-insensitively; deterministic
     under a fixed seed (DEFAULT_SEED=985, base_graph.hpp:48)."""
     return edges.orderBy(F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed)))
+
+
+def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second deterministic graph source: users who acted on the same
+    (event_type, hour) are linked — the interaction-graph analog of
+    the part co-occurrence derivation. Same contract: src < dst,
+    distinct, no self-loops. One shuffle on the composite group key.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(b, on=["hour", "event_type"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+    )

@@ -233,3 +233,35 @@ per_session AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
   CAST(max(n_events) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY user_id"""
+
+
+EVENTS_EDGES_CTE = """ee AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM (SELECT date_trunc('hour', ts) AS hour, event_type, user_id FROM events) a
+  JOIN (SELECT date_trunc('hour', ts) AS hour, event_type, user_id FROM events) b
+    ON a.hour = b.hour AND a.event_type = b.event_type AND a.user_id < b.user_id
+)"""
+
+
+def sql_edges_events() -> str:
+    return f"WITH {EVENTS_EDGES_CTE} SELECT src, dst FROM ee"
+
+
+def sql_events_graph_components(iters: int = 6) -> str:
+    parts = [
+        EVENTS_EDGES_CTE,
+        "sym AS MATERIALIZED (SELECT src, dst FROM ee UNION ALL SELECT dst, src FROM ee)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym)",
+        "l0 AS (SELECT vid, vid AS component FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT vid, min(component) AS component FROM (
+    SELECT s.dst AS vid, l.component FROM sym s JOIN l{i - 1} l ON s.src = l.vid
+    UNION ALL
+    SELECT vid, component FROM l{i - 1}
+  ) GROUP BY vid
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, component FROM l{iters}"

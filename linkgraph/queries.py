@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.graph import degrees, edges_from_lineitem, vertices
+from linkgraph.graph import degrees, edges_from_events, edges_from_lineitem, vertices
 from linkgraph.partition.metrics import edge_partition_metrics
 from linkgraph.partition.strategies import dbh, grid, hash_edges
 
@@ -188,6 +188,21 @@ def q_vertex_cut_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     return out.select("strategy", "m", "edge_cut", "edge_cut_rate", "n",
                       "max_vertex", "load_balance")
+
+
+def q_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-interaction edge graph from the events table (second graph
+    source — see linkgraph.graph.edges_from_events)."""
+    return edges_from_events(spark, sf_dir)
+
+
+def q_events_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on the interaction graph (fixed rounds,
+    SQL-oracle-matched) — proves the analytics run unchanged on any
+    edge source."""
+    from linkgraph.algos.cc import connected_components
+
+    return connected_components(edges_from_events(spark, sf_dir), fixed_iterations=6)
 
 
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
