@@ -67,3 +67,18 @@ def test_no_self_loops_and_canonical(spark, corpus):
     e = extract_edges(files)
     assert e.where(F.col("src") >= F.col("dst")).count() == 0
     assert e.count() == e.distinct().count()
+
+
+def test_edges_from_events_contract(spark):
+    """Second graph source honors the edge contract: src < dst,
+    distinct, no self-loops, deterministic across invocations."""
+    from linkgraph.graph import edges_from_events
+
+    e1 = edges_from_events(spark, "/root/testdata/sf0.001")
+    rows = e1.collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+    assert len(rows) == len({(r["src"], r["dst"]) for r in rows})
+    rows2 = edges_from_events(spark, "/root/testdata/sf0.001").collect()
+    assert {(r["src"], r["dst"]) for r in rows} == {
+        (r["src"], r["dst"]) for r in rows2
+    }
