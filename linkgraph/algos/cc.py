@@ -45,6 +45,7 @@ def connected_components(
     labels = vertices(edges).withColumn("component", F.col("vid"))
 
     rounds = fixed_iterations if fixed_iterations is not None else max_iterations
+    prev_sum = None
     for i in range(rounds):
         nbr = sym.join(labels, sym["src"] == labels["vid"]).select(
             F.col("dst").alias("vid"), F.col("component")
@@ -70,19 +71,23 @@ def connected_components(
                     ),
                 )
             )
-        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+        at_checkpoint = (i + 1) % checkpoint_every == 0 or i == rounds - 1
+        if at_checkpoint:
             new_labels = roll(new_labels)
-        if fixed_iterations is None:
-            changed = (
-                new_labels.alias("a")
-                .join(labels.alias("b"), "vid")
-                .where(F.col("a.component") != F.col("b.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+        labels = new_labels
+        if fixed_iterations is None and at_checkpoint:
+            # Convergence without a per-iteration join: labels are
+            # monotone non-increasing per vertex, so the exact sum of
+            # all labels is unchanged between two checkpoints iff no
+            # label moved in between. One cheap partial-agg scan over
+            # the blocks just materialized by the checkpoint, every
+            # checkpoint_every rounds, replaces a join+count every
+            # round. decimal(38,0): exact and overflow-safe at 10^12
+            # vertices × 64-bit ids.
+            cur_sum = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            if prev_sum is not None and cur_sum == prev_sum:
                 break
-        else:
-            labels = new_labels
+            prev_sum = cur_sum
     return labels.select("vid", "component")

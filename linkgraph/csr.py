@@ -46,6 +46,34 @@ def build_csr(src: np.ndarray, dst: np.ndarray):
     return uniq, indptr, d
 
 
+def prepare_bucketed_edges(
+    edges: DataFrame,
+    k: int,
+    strategy: str = "grid",
+    bucket_table: str = "csr_edges_bucketed",
+    hasher: str = "xxhash64",
+) -> None:
+    """One-time materialization of the partitioned, symmetrized edge
+    set as a table bucketed on the graph-partition column. This is the
+    'edges written once' half of the 100 TB story: every later
+    CSR-block superstep cogroups against this table with ZERO edge-side
+    exchanges. Pass the table name to ``pagerank_csr(...,
+    bucket_table=..., prebuilt=True)`` to amortize the write across
+    runs/iterations."""
+    from linkgraph.graph import symmetrize
+    from linkgraph.partition.strategies import partition_edges
+
+    spark = edges.sparkSession
+    parted = partition_edges(symmetrize(edges), strategy, k, hasher=hasher)
+    spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+    (
+        parted.write.bucketBy(k, "partition")
+        .sortBy("partition", "src")
+        .mode("overwrite")
+        .saveAsTable(bucket_table)
+    )
+
+
 def pagerank_csr(
     edges: DataFrame,
     k: int = 32,
@@ -55,6 +83,7 @@ def pagerank_csr(
     checkpoint_every: int = 3,
     hasher: str = "xxhash64",
     bucket_table: str | None = None,
+    prebuilt: bool = False,
 ) -> DataFrame:
     """PageRank executed as gather-scatter over per-partition CSR
     blocks (north-star execution shape). Numerically equivalent to
@@ -71,23 +100,27 @@ def pagerank_csr(
     from linkgraph.graph import symmetrize, vertices
     from linkgraph.partition.strategies import partition_edges
 
-    sym = symmetrize(edges)
-    out_deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
-
-    # partition the directed (symmetrized) edge set once; cache blocks
-    parted = partition_edges(sym, strategy, k, hasher=hasher)
-    if bucket_table is not None:
-        spark = edges.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
-        (
-            parted.write.bucketBy(k, "partition")
-            .sortBy("partition", "src")
-            .mode("overwrite")
-            .saveAsTable(bucket_table)
-        )
-        parted = spark.table(bucket_table)
+    if bucket_table is not None and prebuilt:
+        # the bucketed table IS the symmetrized+partitioned edge set;
+        # out-degree is derivable from it (each directed dart appears
+        # exactly once), so the raw edge scan is never touched again
+        parted = edges.sparkSession.table(bucket_table)
     else:
-        parted = parted.cache()
+        sym = symmetrize(edges)
+        parted = partition_edges(sym, strategy, k, hasher=hasher)
+        if bucket_table is not None:
+            spark = edges.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+            (
+                parted.write.bucketBy(k, "partition")
+                .sortBy("partition", "src")
+                .mode("overwrite")
+                .saveAsTable(bucket_table)
+            )
+            parted = spark.table(bucket_table)
+        else:
+            parted = parted.cache()
+    out_deg = parted.groupBy("src").agg(F.count("*").alias("outdeg"))
     # mirror routing table: which partitions need each vertex's rank
     # (only as a *source* — gather side), i.e. distinct (src, partition)
     routes = (

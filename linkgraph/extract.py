@@ -28,23 +28,56 @@ import re
 
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMPORT_RE = re.compile(r"^import\s+([A-Za-z0-9_]+)\.([A-Za-z0-9_.]+)$", re.MULTILINE)
 
 
-def file_ids(files: DataFrame) -> DataFrame:
-    """Dense 0-based vertex id per (repo, path), ordered — the Spark
-    analog of the reference's contiguous vid contract
-    (/root/reference/README.md:23-27). One global sort at ingest time
-    (row_number over an un-partitioned window); at 10^12 scale swap for
-    ``zipWithIndex``-style per-partition offsets — the contract (dense,
-    deterministic) is what matters."""
-    w = Window.orderBy("repo", "path")
-    return files.select("repo", "path").distinct().withColumn(
-        "vid", (F.row_number().over(w) - 1).cast("long")
+def file_ids(files: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Dense 0-based vertex id per (repo, path), ordered by (repo,
+    path) — the Spark analog of the reference's contiguous vid contract
+    (/root/reference/README.md:23-27) — WITHOUT a global sort:
+    range-repartition on the key (contiguous key ranges per partition),
+    sort within partitions only, then add per-partition offsets
+    computed from a P-row size aggregate (P = #partitions — driver
+    state is O(P), never O(|V|)). Produces exactly the ids of
+    ``row_number() over (order by repo, path)`` (pinned in
+    tests/test_extract.py) but the plan carries no SinglePartition
+    exchange — the global-window formulation serializes 10^12 rows
+    through one task."""
+    distinct = files.select("repo", "path").distinct()
+    spark = files.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        distinct.repartitionByRange(p, "repo", "path")
+        .sortWithinPartitions("repo", "path")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+    sizes = {
+        r["_pid"]: r["count"] for r in parts.groupBy("_pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    def add_ids(batches):
+        seen = 0  # one invocation per partition → per-partition counter
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            out = pdf[["repo", "path"]].copy()
+            out["vid"] = pd.RangeIndex(base + seen, base + seen + len(pdf)).astype(
+                "int64"
+            )
+            seen += len(pdf)
+            yield out
+
+    return parts.mapInPandas(add_ids, schema="repo string, path string, vid long")
 
 
 def parse_imports(files: DataFrame, langs: tuple[str, ...] = ("python",)) -> DataFrame:
@@ -97,7 +130,10 @@ def extract_edges(
 ) -> DataFrame:
     """Full extraction: parse → sha-verify → resolve to vids →
     self-loop filter → dedup → canonical undirected (src < dst)."""
-    parsed = parse_imports(files, langs)
+    # cache: the Arrow parse over the full content column is the most
+    # expensive stage of the job — without this, verify_sha's action
+    # and the resolve joins would each run it (2× the 100 TB scan)
+    parsed = parse_imports(files, langs).cache()
     if enforce_sha:
         bad = verify_sha(files, parsed)
         if bad:

@@ -32,13 +32,14 @@ all prior decisions. Three execution modes, same scoring core:
   parity tests and the driver correctness gate. Single-task by design.
 - ``hdrf_spark(exact=False)`` chunked-streaming approximation (the
   scale path): the driver iterates over C deterministic hash chunks;
-  each chunk splits into T hash groups, each group running the same
-  sequential assigner seeded from a broadcast snapshot of the global
-  state (partial degrees, mirror bitsets, loads) under a per-task
-  balance budget; state merges between chunks. Approximation error is
-  cross-group staleness within a chunk — RF approaches exact HDRF as
-  C grows. At 10^12 edges the broadcast state generalizes to
-  per-executor mirror bloom filters; the loop shape is unchanged.
+  per-vertex state (partial degrees + mirror sets) is carried as a
+  distributed DataFrame joined onto each chunk's edges — nothing
+  O(|V|) ever lands on the driver or in a broadcast. Each chunk
+  splits into T src-hash groups, each running the same sequential
+  assigner over the row-carried state snapshot under a per-task
+  balance budget; the state delta merges back via one full-outer
+  join per chunk. Approximation error is cross-group staleness
+  within a chunk — RF approaches exact HDRF as C grows.
 """
 
 from __future__ import annotations
@@ -51,6 +52,33 @@ from pyspark.sql import functions as F
 LAMBDA = 1.1
 BALANCE_RATIO = 1.05
 EPSILON = 1.0
+STREAM_SEED = 985  # reference DEFAULT_SEED (base_graph.hpp:48)
+
+
+def stream_ord_expr(src: str = "src", dst: str = "dst", seed: int = STREAM_SEED):
+    """Deterministic stream-order key, engine-portable: the first 8 hex
+    digits of md5("src,dst,seed") as a long — computable identically in
+    Spark, DuckDB, and pure Python (``stream_ord_py``), so the exact
+    sequential modes can be pinned to oracles OUTSIDE Spark (the
+    literal-VALUES DuckDB oracles in linkgraph.oracle.literal). The
+    reference shuffles its stream with an unseeded RNG
+    (shuffler.cpp:15-118); any fixed pseudo-random order satisfies the
+    same purpose (order-insensitivity of streaming partitioners) while
+    staying reproducible."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(",", F.col(src), F.col(dst), F.lit(str(seed)))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def stream_ord_py(src: int, dst: int, seed: int = STREAM_SEED) -> int:
+    """Pure-Python twin of ``stream_ord_expr`` — bit-identical."""
+    import hashlib
+
+    return int(hashlib.md5(f"{src},{dst},{seed}".encode()).hexdigest()[:8], 16)
 
 
 # ---------------------------------------------------------------- core
@@ -170,18 +198,35 @@ def hdrf_spark(
     lamb: float = LAMBDA,
     balance_ratio: float = BALANCE_RATIO,
     exact: bool = True,
-    num_chunks: int = 8,
+    num_chunks: int = 12,
     mode: str = "hdrf",
+    route: str = "edge",
+    chunking: str = "uniform",
 ) -> DataFrame:
     """HDRF on Spark → DataFrame[src, dst, partition].
 
     exact=True: one applyInPandas group, deterministic stream order —
     matches ``hdrf_oracle`` bit-for-bit. exact=False: chunked-streaming
-    approximation (see module docstring).
+    approximation (see module docstring); ``route`` picks the task
+    grouping key ('edge' = hash of both endpoints, balanced tasks;
+    'src' = co-locate each source vertex's edges, skew-prone);
+    ``chunking`` 'geometric' makes chunk c hold ~2^c/(2^C−1) of the
+    edges (measured on sf0.01: NOT better than uniform — the big final
+    chunks dominate staleness — kept as an option for skewed streams).
+
+    Measured RF at sf0.01/k=32/T=32 (exact = 9.87): C=4 → 15.5,
+    C=8 → 11.0, C=12 → 10.22, C=16 → 10.17. The default C=12 lands
+    within ~4%% of exact; quality is governed by edges-per-task-group
+    (cross-group staleness), so at a fixed cluster width more chunks
+    buy RF at the cost of one extra pass each — at 100 TB the
+    per-chunk pass is huge and the fixed per-chunk overhead amortizes
+    to nothing.
     """
     if exact:
         return _hdrf_exact(edges, k, lamb, balance_ratio, mode)
-    return _hdrf_chunked(edges, k, lamb, balance_ratio, num_chunks, mode)
+    return _hdrf_chunked(
+        edges, k, lamb, balance_ratio, num_chunks, mode, route, chunking
+    )
 
 
 def _hdrf_exact(
@@ -204,7 +249,7 @@ def _hdrf_exact(
             {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(), "partition": parts}
         )
 
-    with_ord = edges.withColumn("_ord", F.xxhash64("src", "dst", F.lit(985))).withColumn(
+    with_ord = edges.withColumn("_ord", stream_ord_expr()).withColumn(
         "_g", F.lit(0)
     )
     return (
@@ -215,110 +260,193 @@ def _hdrf_exact(
 
 def _hdrf_chunked(
     edges: DataFrame, k: int, lamb: float, balance_ratio: float, num_chunks: int,
-    mode: str = "hdrf",
+    mode: str = "hdrf", route: str = "edge", chunking: str = "geometric",
 ) -> DataFrame:
-    """Chunked-streaming HDRF (the scale path).
+    """Chunked-streaming HDRF (the scale path) with DataFrame-carried
+    vertex state — NO O(|V|) driver structure anywhere.
 
-    Driver loop over C deterministic hash chunks; each chunk is split
-    into T deterministic hash groups (applyInPandas — groups cannot be
-    coalesced away like repartitioned tasks), and each group runs the
-    *sequential* HDRF assigner seeded from a broadcast snapshot of the
-    global state, with a per-task budget of
-    (balance_target_j - loads_j)/T edges per partition so the global
-    balance cap holds under parallelism. Group effects (partial
-    degrees, mirrors, loads) merge into the driver state between
-    chunks. Deterministic: chunking, grouping, and within-group order
-    are all hash-defined. Approximation vs exact HDRF = cross-group
-    staleness within a chunk; RF degrades smoothly as C·T grows.
+    Driver loop over C deterministic hash chunks. Per-vertex state
+    (partial degree + mirror partition set) lives in a distributed
+    ``vstate`` DataFrame ``[vid, pdeg, mirrors: array<long>]`` that is
+    LEFT-JOINED onto each chunk's edges (state shuffles by vid — the
+    standard co-partitioned join, sized by the chunk's touched-vertex
+    count, not |V|). Each chunk splits into T deterministic hash groups
+    on the SOURCE vertex (applyInPandas — groups cannot be coalesced
+    away); each group runs the same *sequential* HDRF assigner over the
+    state snapshot carried on its rows, under a per-task budget of
+    (balance_target_j − loads_j)/T edges per partition so the global
+    balance cap holds under parallelism. After a chunk, the state delta
+    (degree increments + new mirrors) is computed distributedly and
+    merged into ``vstate`` via one full-outer join, rolled through a
+    localCheckpoint to truncate lineage. Only the k-length load vector
+    ever touches the driver.
+
+    Routing by src (not by edge hash) keeps each vertex's within-chunk
+    edges in ONE sequential task, so its mirror set can't silently fan
+    out across parallel groups — measurably better RF than edge-hash
+    routing at the same chunk count.
+
+    Deterministic: chunking, grouping, and within-group order are all
+    hash-defined. Approximation vs exact HDRF = cross-group staleness
+    within a chunk; RF approaches exact as C grows.
     """
+    from linkgraph.rolling import RollingCheckpoint
+
     spark = edges.sparkSession
     m = edges.count()
     cap = max(1, int(balance_ratio * m / k))
+    n_tasks = max(2, spark.sparkContext.defaultParallelism)
 
-    vids = np.array(
-        [r[0] for r in
-         edges.select(F.col("src").alias("v")).unionAll(edges.select("dst"))
-         .distinct().orderBy("v").collect()],
-        dtype=np.int64,
-    )
-    state = _HdrfState(len(vids), k)
-
-    chunked = edges.withColumn(
-        "_chunk", F.pmod(F.xxhash64("src", "dst", F.lit(985)), F.lit(num_chunks))
-    ).cache()
+    if chunking == "geometric":
+        # slot ∈ [0, 2^C−1); chunk = floor(log2(slot+1)) gives chunk c
+        # exactly 2^c of the slots → geometric sizes 1,2,4,…,2^(C−1)
+        n_slots = (1 << num_chunks) - 1
+        chunk_col = F.floor(
+            F.log2(F.pmod(F.xxhash64("src", "dst", F.lit(985)), F.lit(n_slots)) + 1)
+        ).cast("int")
+    else:
+        chunk_col = F.pmod(F.xxhash64("src", "dst", F.lit(985)), F.lit(num_chunks))
+    chunked = edges.withColumn("_chunk", chunk_col).cache()
     chunk_sizes = {
         r["_chunk"]: r["count"]
         for r in chunked.groupBy("_chunk").count().collect()
     }
 
-    n_tasks = max(2, spark.sparkContext.defaultParallelism)
-    cum = 0
+    roll_state = RollingCheckpoint()
+    vstate: DataFrame | None = None
+    loads = np.zeros(k, dtype=np.int64)
     results = []
     for c in range(num_chunks):
-        cum += chunk_sizes.get(c, 0)
-        # per-task budget: the cumulative balance target, minus what is
-        # already placed, split across the T parallel groups
-        target = min(cap, int(balance_ratio * cum / k))
-        budget = np.maximum(
-            1, np.ceil((target - state.loads) / n_tasks)
-        ).astype(np.int64)
-        chunk = (
-            chunked.where(F.col("_chunk") == c)
-            .withColumn("_task", F.pmod(F.xxhash64("src", "dst", F.lit(7919)), F.lit(n_tasks)))
+        if not chunk_sizes.get(c, 0):
+            continue
+        # Per-task budget: the GLOBAL cap's remaining headroom split
+        # across the T parallel groups — guarantees final loads ≤
+        # cap + T while leaving early chunks free to follow the score
+        # (mid-stream balance is the bal term's job, exactly as in the
+        # reference's sequential pass; a cumulative quota here would
+        # force tiny warm-up chunks to spray edges across partitions,
+        # measurably wrecking RF).
+        budget = np.maximum(1, np.ceil((cap - loads) / n_tasks)).astype(
+            np.int64
         )
-        b = spark.sparkContext.broadcast(
-            (vids, state.pdeg.copy(), state.mirrors.copy(), state.loads.copy(), budget)
+        task_key = (
+            F.xxhash64("src", F.lit(7919))
+            if route == "src"
+            else F.xxhash64("src", "dst", F.lit(7919))
         )
-
-        def make_run_group(_b, _k, _lamb, _cap, _mode=mode):
-            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-                bv, bpdeg, bmirrors, bloads, bbudget = _b.value
-                order = np.lexsort(
-                    (pdf["dst"].to_numpy(), pdf["src"].to_numpy(), pdf["_ord"].to_numpy())
-                )
-                pdf = pdf.iloc[order]
-                st = _HdrfState(len(bv), _k)
-                st.pdeg, st.mirrors, st.loads = bpdeg.copy(), bmirrors.copy(), bloads.copy()
-                src = np.searchsorted(bv, pdf["src"].to_numpy())
-                dst = np.searchsorted(bv, pdf["dst"].to_numpy())
-                parts = _sequential_assign(src, dst, st, _cap, _lamb, budget=bbudget, mode=_mode)
-                return pd.DataFrame(
-                    {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(),
-                     "partition": parts}
-                )
-
-            return run_group
+        chunk = chunked.where(F.col("_chunk") == c).withColumn(
+            "_task", F.pmod(task_key, F.lit(n_tasks))
+        )
+        if vstate is None:
+            joined = (
+                chunk.withColumn("src_pdeg", F.lit(None).cast("long"))
+                .withColumn("src_mir", F.lit(None).cast("array<long>"))
+                .withColumn("dst_pdeg", F.lit(None).cast("long"))
+                .withColumn("dst_mir", F.lit(None).cast("array<long>"))
+            )
+        else:
+            s_state = vstate.select(
+                F.col("vid").alias("src"),
+                F.col("pdeg").alias("src_pdeg"),
+                F.col("mirrors").alias("src_mir"),
+            )
+            d_state = vstate.select(
+                F.col("vid").alias("dst"),
+                F.col("pdeg").alias("dst_pdeg"),
+                F.col("mirrors").alias("dst_mir"),
+            )
+            joined = chunk.join(s_state, "src", "left").join(d_state, "dst", "left")
 
         assigned = (
-            chunk.withColumn("_ord", F.xxhash64("src", "dst", F.lit(985)))
+            joined.withColumn("_ord", F.xxhash64("src", "dst", F.lit(985)))
             .groupBy("_task")
             .applyInPandas(
-                make_run_group(b, k, lamb, cap),
+                _make_chunk_runner(k, lamb, cap, budget, loads.copy(), mode),
                 schema="src long, dst long, partition long",
             )
             .localCheckpoint(eager=True)
         )
         results.append(assigned)
 
-        # merge chunk effects into driver state
-        pd_updates = (
-            assigned.select(F.col("src").alias("vid"), "partition")
-            .unionAll(assigned.select(F.col("dst").alias("vid"), "partition"))
+        # distributed state delta: degree increments + new mirror pairs
+        touched = assigned.select(F.col("src").alias("vid"), "partition").unionAll(
+            assigned.select(F.col("dst").alias("vid"), "partition")
         )
-        occ = pd_updates.groupBy("vid").count().collect()
-        occ_idx = np.searchsorted(vids, np.array([r["vid"] for r in occ], dtype=np.int64))
-        state.pdeg[occ_idx] += np.array([r["count"] for r in occ], dtype=np.int64)
-        mir = pd_updates.distinct().collect()
-        if mir:
-            mi = np.searchsorted(vids, np.array([r["vid"] for r in mir], dtype=np.int64))
-            mp = np.array([r["partition"] for r in mir], dtype=np.int64)
-            state.set_mirrors(mi, mp)
-        loads = assigned.groupBy("partition").count().collect()
-        for r in loads:
-            state.loads[r["partition"]] += r["count"]
-        b.unpersist()
+        delta = touched.groupBy("vid").agg(
+            F.count("*").alias("d_pdeg"),
+            F.collect_set("partition").alias("d_mir"),
+        )
+        if vstate is None:
+            vstate = delta.select(
+                "vid",
+                F.col("d_pdeg").alias("pdeg"),
+                F.array_sort("d_mir").alias("mirrors"),
+            )
+        else:
+            vstate = vstate.join(delta, "vid", "full_outer").select(
+                "vid",
+                (
+                    F.coalesce(F.col("pdeg"), F.lit(0))
+                    + F.coalesce(F.col("d_pdeg"), F.lit(0))
+                ).alias("pdeg"),
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(F.col("mirrors"), F.array().cast("array<long>")),
+                        F.coalesce(F.col("d_mir"), F.array().cast("array<long>")),
+                    )
+                ).alias("mirrors"),
+            )
+        vstate = roll_state(vstate)
 
+        for r in assigned.groupBy("partition").count().collect():  # k rows
+            loads[r["partition"]] += r["count"]
+
+    chunked.unpersist()
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _make_chunk_runner(
+    k: int, lamb: float, cap: int, budget: np.ndarray, loads: np.ndarray, mode: str
+):
+    """applyInPandas factory for one chunk group: seeds a local dense
+    HDRF state for ONLY the vertices this group touches from the
+    state columns carried on the joined rows, then runs the sequential
+    assigner (identical scoring core to exact mode)."""
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (pdf["dst"].to_numpy(), pdf["src"].to_numpy(), pdf["_ord"].to_numpy())
+        )
+        pdf = pdf.iloc[order]
+        src_v = pdf["src"].to_numpy()
+        dst_v = pdf["dst"].to_numpy()
+        all_v = np.concatenate([src_v, dst_v])
+        vids, first_idx = np.unique(all_v, return_index=True)
+        st = _HdrfState(len(vids), k)
+        st.loads = loads.copy()
+        # seed pdeg/mirrors from the join columns (same snapshot on
+        # every row mentioning the vertex — first occurrence suffices)
+        pdegs = np.concatenate(
+            [
+                pdf["src_pdeg"].fillna(0).to_numpy(dtype=np.int64),
+                pdf["dst_pdeg"].fillna(0).to_numpy(dtype=np.int64),
+            ]
+        )
+        st.pdeg[:] = pdegs[first_idx]
+        mirs = list(pdf["src_mir"]) + list(pdf["dst_mir"])
+        for vi, row_i in enumerate(first_idx):
+            mlist = mirs[row_i]
+            if mlist is not None and len(mlist):
+                ps = np.asarray(mlist, dtype=np.int64)
+                st.set_mirrors(np.full(len(ps), vi, dtype=np.int64), ps)
+        src = np.searchsorted(vids, src_v)
+        dst = np.searchsorted(vids, dst_v)
+        parts = _sequential_assign(
+            src, dst, st, cap, lamb, budget=budget, mode=mode
+        )
+        return pd.DataFrame({"src": src_v, "dst": dst_v, "partition": parts})
+
+    return run_group

@@ -22,13 +22,20 @@ Reference semantics:
 The reference shuffles with an unseeded RNG (ldg.cpp:87-89); we use a
 seeded permutation (reproducibility rule, SURVEY.md §4).
 
-Execution modes mirror HDRF: a pure-Python/NumPy oracle and an exact
+Execution modes mirror HDRF: a pure-Python/NumPy oracle, an exact
 single-group Spark mode (adjacency lists collected per group via
-``collect_list`` → sequential NumPy loop inside applyInPandas). Both
-are sequential by nature (every decision reads all prior ones); the
-chunked-parallel generalization used for HDRF applies identically and
-is left as the documented scale path (vertex partitioning is not in
-the mandated strategy set — SURVEY.md §2.2 V1/V2, tier T2).
+``collect_list`` → sequential NumPy loop inside applyInPandas,
+bit-identical to the oracle), and ``vertex_partition_chunked`` — the
+scale path: the vertex stream is processed in C deterministic hash
+chunks; each chunk's vertices get their neighbor-partition counts
+|N(v) ∩ P_j| via a JOIN against the distributed assignment-so-far
+DataFrame (nothing O(|V|) on the driver), then T parallel tasks run
+the sequential scorer under per-task capacity budgets, and the new
+assignments merge back by union. Approximation = within-chunk
+staleness (neighbors assigned in the same chunk are invisible),
+identical in spirit to chunked HDRF; quality approaches exact as C
+grows (tests/test_vertex_partition.py pins completeness, balance, and
+an edge-cut bound vs exact).
 """
 
 from __future__ import annotations
@@ -149,3 +156,140 @@ def vertex_partition_spark(
         return pd.DataFrame({"vid": vids, "partition": parts})
 
     return adj.groupBy("_g").applyInPandas(run, schema="vid long, partition long")
+
+
+def vertex_partition_chunked(
+    edges: DataFrame,
+    k: int,
+    mode: str = "ldg",
+    num_chunks: int = 8,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Chunked-streaming LDG/Fennel (the scale path) — the vertex-
+    partitioning twin of ``linkgraph.partition.hdrf._hdrf_chunked``.
+
+    Per chunk: the chunk's vertices get their neighbor-partition
+    counts |N(v) ∩ P_j| by joining the symmetrized darts against the
+    distributed assignment-so-far (state shuffles by vid; nothing
+    O(|V|) on the driver), T hash groups score sequentially under
+    per-task capacity budgets, and the new assignments union back.
+    Only the k-length size vector lives on the driver. Approximation
+    vs exact = within-chunk staleness; deterministic (hash chunking,
+    grouping, ordering).
+    """
+    from linkgraph.graph import symmetrize
+
+    spark = edges.sparkSession
+    sym = symmetrize(edges).cache()
+    verts = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn(
+            "_chunk", F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(num_chunks))
+        )
+        .cache()
+    )
+    n = verts.count()
+    m = edges.count()
+    n_tasks = max(2, spark.sparkContext.defaultParallelism)
+    capacity = n // k + 1  # vertexPartitioner.cpp:10
+    load_limit = FENNEL_SLACK * n / k  # fennel.cpp:108-111
+    alpha = m * (k ** (GAMMA - 1)) / (n**GAMMA)
+    # hard per-partition target (with the same slack Fennel uses) —
+    # split across tasks as a budget so balance holds under parallelism
+    hard_cap = int(np.ceil(FENNEL_SLACK * n / k)) + 1
+
+    sizes = np.zeros(k, dtype=np.int64)
+    assignment: DataFrame | None = None
+    results: list[DataFrame] = []
+    for c in range(num_chunks):
+        budget = np.maximum(1, np.ceil((hard_cap - sizes) / n_tasks)).astype(
+            np.int64
+        )
+        cv = verts.where(F.col("_chunk") == c).select("vid")
+        if assignment is None:
+            counts_df = cv.withColumn(
+                "partition", F.lit(None).cast("long")
+            ).withColumn("cnt", F.lit(None).cast("long"))
+        else:
+            nbr = sym.join(cv, sym["src"] == cv["vid"]).select(
+                cv["vid"], sym["dst"]
+            )
+            asg = assignment.select(
+                F.col("vid").alias("dst"), F.col("partition")
+            )
+            joined = (
+                nbr.join(asg, "dst")
+                .groupBy("vid", "partition")
+                .agg(F.count("*").alias("cnt"))
+            )
+            counts_df = cv.join(joined, "vid", "left")
+        grouped = counts_df.withColumn(
+            "_task", F.pmod(F.xxhash64("vid", F.lit(7919)), F.lit(n_tasks))
+        ).withColumn("_ord", F.xxhash64("vid", F.lit(424242)))
+        out = (
+            grouped.groupBy("_task")
+            .applyInPandas(
+                _make_vertex_chunk_runner(
+                    k, mode, capacity, load_limit, alpha, sizes.copy(), budget
+                ),
+                schema="vid long, partition long",
+            )
+            .localCheckpoint(eager=True)
+        )
+        results.append(out)
+        assignment = results[0]
+        for r in results[1:]:
+            assignment = assignment.unionByName(r)
+        for r in out.groupBy("partition").count().collect():  # ≤ k rows
+            sizes[r["partition"]] += r["count"]
+    verts.unpersist()
+    sym.unpersist()
+    return assignment
+
+
+def _make_vertex_chunk_runner(
+    k: int,
+    mode: str,
+    capacity: int,
+    load_limit: float,
+    alpha: float,
+    sizes: np.ndarray,
+    budget: np.ndarray,
+):
+    """applyInPandas factory: one task group of a chunk. Rows are
+    (vid, partition, cnt) neighbor-partition counts (≤ k rows per vid,
+    null partition for vertices with no assigned neighbor yet)."""
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "vid"])
+        vids = pdf["vid"].unique()  # order of appearance = stream order
+        vindex = {v: i for i, v in enumerate(vids)}
+        inter = np.zeros((len(vids), k), dtype=np.float64)
+        have = pdf["partition"].notna().to_numpy()
+        if have.any():
+            r = pdf["vid"].map(vindex).to_numpy()[have]
+            cdx = pdf["partition"].to_numpy()[have].astype(np.int64)
+            inter[r, cdx] = pdf["cnt"].to_numpy()[have].astype(np.float64)
+        local = np.zeros(k, dtype=np.int64)
+        out = np.empty(len(vids), dtype=np.int64)
+        for i in range(len(vids)):
+            cur = sizes + local
+            full = local >= budget
+            if mode == "ldg":
+                scores = (inter[i] + LDG_EPS) * (1.0 - cur / capacity)
+            else:  # fennel (paper-correct eligibility)
+                scores = inter[i] - alpha * GAMMA * np.power(
+                    cur.astype(np.float64), GAMMA - 1
+                )
+                full = full | (cur > load_limit)
+            scores = np.where(full, -np.inf, scores)
+            if np.isneginf(scores).all():
+                p = int(np.argmin(cur))
+            else:
+                p = int(np.argmax(scores))
+            out[i] = p
+            local[p] += 1
+        return pd.DataFrame({"vid": vids, "partition": out})
+
+    return run_group

@@ -142,10 +142,26 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, max_bucket_size: int = 1000
+) -> DataFrame:
     """Near-dup candidates: pairs sharing ≥1 LSH band bucket, with the
-    number of shared bands."""
+    number of shared bands.
+
+    Mega-bucket guard: a degenerate bucket of B identical-boilerplate
+    docs would make the self-join emit B² pairs (quadratic blowup at
+    scale). Buckets larger than ``max_bucket_size`` are excluded from
+    the pairwise join — a boilerplate cluster that large is exact-dup
+    territory and is already collapsed by ``dedup_exact`` (byte-equal
+    content hashes into one bucket there at linear cost)."""
     b = lsh_buckets(docs).cache()
+    ok = (
+        b.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    b = b.join(ok, ["band", "bucket"], "left_semi")
     a1 = b.alias("x")
     a2 = b.alias("y")
     return (
@@ -164,29 +180,29 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over token hashes: bit b of the signature is 1 iff the
-    sum over tokens of (±1 for bit b of H(token)) is positive. 16 bits
-    keeps the bit-explode bounded; near-dup pairs = small Hamming
-    distance (see tests)."""
+    sum over tokens of (±1 for bit b of H(token)) is positive.
+
+    Single-aggregate formulation (no bit explode, no crossJoin): with
+    c_b = #tokens whose bit b is set and n = #tokens, the ±1 sum is
+    2·c_b − n, so bit b of the signature is (2·c_b > n). One groupBy
+    with ``bits`` literal-shift counters — the token rows are scanned
+    once instead of ``bits`` times. Output identical to the explicit
+    ±1 formulation (the DuckDB oracle still uses that one)."""
     toks = tokens(docs).select("doc_id", _token_hash(F.col("tok")).alias("hv"))
-    spark = docs.sparkSession
-    bit_ids = spark.range(bits).select(
-        F.col("id").alias("bit"),
-        F.pow(F.lit(2), F.col("id")).cast("long").alias("bitval"),
+    counts = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(bits)
+        ],
     )
-    weighted = toks.crossJoin(F.broadcast(bit_ids)).select(
-        "doc_id",
-        "bit",
-        "bitval",
-        F.when((F.col("hv") / F.col("bitval")).cast("long") % 2 == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("w"),
-    )
-    bitsum = weighted.groupBy("doc_id", "bit", "bitval").agg(F.sum("w").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(
+            F.lit(2) * F.col(f"c{b}") > F.col("n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return counts.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.5) -> DataFrame:

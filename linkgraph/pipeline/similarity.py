@@ -83,10 +83,12 @@ def knn_bruteforce(
     )
 
 
-def _plane_component(plane, dim):
+def _plane_component(plane, dim, stride: int = 64):
     """Deterministic ±1 hyperplane component from an LCG over
-    (plane, dim) — identical arithmetic in the SQL oracle."""
-    lcg = (F.lit(1664525) * (plane * 64 + dim) + F.lit(1013904223)) % F.lit(2**31)
+    (plane, dim) — identical arithmetic in the SQL oracle (which uses
+    the default 64 stride; data wider than 64 dims widens the stride
+    so components never alias across planes)."""
+    lcg = (F.lit(1664525) * (plane * stride + dim) + F.lit(1013904223)) % F.lit(2**31)
     return F.when(lcg % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
@@ -95,8 +97,15 @@ def lsh_bucket_ids(embeddings: DataFrame, num_planes: int = NUM_PLANES) -> DataF
     dot(v, plane_j) > 0; bucket = Σ 2^j·bit_j. Explode dims → join the
     (plane, dim, ±1) constant grid → two-level sum. All integer/exact
     comparisons except the dot sign, which has ~1e-6 margin on random
-    data."""
+    data.
+
+    The hyperplane grid is sized from the DATA (max embedding length —
+    one tiny agg action), so wider vectors can never be silently
+    truncated by an undersized grid; the LCG stride stays 64 for ≤64
+    dims (oracle parity) and widens with the data beyond that."""
     spark = embeddings.sparkSession
+    max_dim = embeddings.agg(F.max(F.size("embedding"))).first()[0] or 0
+    stride = max(64, max_dim)
     dims = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     )
@@ -106,10 +115,10 @@ def lsh_bucket_ids(embeddings: DataFrame, num_planes: int = NUM_PLANES) -> DataF
             F.col("id").alias("plane"),
             F.pow(F.lit(2), F.col("id")).cast("long").alias("planeval"),
         )
-        .crossJoin(spark.range(64).select(F.col("id").alias("dim")))
+        .crossJoin(spark.range(max_dim).select(F.col("id").alias("dim")))
         .select(
             "plane", "planeval", "dim",
-            _plane_component(F.col("plane"), F.col("dim")).alias("c"),
+            _plane_component(F.col("plane"), F.col("dim"), stride).alias("c"),
         )
     )
     dots = (
@@ -124,9 +133,24 @@ def lsh_bucket_ids(embeddings: DataFrame, num_planes: int = NUM_PLANES) -> DataF
     )
 
 
-def ann_lsh_candidates(embeddings: DataFrame) -> DataFrame:
-    """ANN candidate pairs = vectors sharing an LSH bucket (a < b)."""
+def ann_lsh_candidates(
+    embeddings: DataFrame, max_bucket_size: int = 10000
+) -> DataFrame:
+    """ANN candidate pairs = vectors sharing an LSH bucket (a < b).
+
+    Mega-bucket guard (same rationale as
+    ``dedup.minhash_lsh_candidates``): buckets above ``max_bucket_size``
+    are excluded from the pairwise join so one degenerate bucket (e.g.
+    a zero-vector pile-up) can't go quadratic; such clusters should be
+    routed to exact dedup / re-hashed with more planes instead."""
     b = lsh_bucket_ids(embeddings).cache()
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket_size)
+        .select("bucket")
+    )
+    b = b.join(ok, "bucket", "left_semi")
     x = b.alias("x")
     y = b.alias("y")
     return (

@@ -52,20 +52,24 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     stop = F.col("tok").isin("the", "a", "of", "and")
     agg = toks.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
-        F.round(F.avg(F.length("tok")), 6).alias("mean_token_len"),
+        F.avg(F.length("tok")).alias("_mean_raw"),
         F.round(
             F.sum(stop.cast("int")) / F.count("*"), 6
         ).alias("stopword_ratio"),
     )
+    # the keep flag thresholds the UNROUNDED mean (the oracle compares
+    # avg(length(tok)) unrounded too — rounding first could flip the
+    # flag on exactly one engine for boundary values); the rounded
+    # column is display/compare-only
     return agg.select(
         "doc_id",
         "n_tokens",
-        "mean_token_len",
+        F.round(F.col("_mean_raw"), 6).alias("mean_token_len"),
         "stopword_ratio",
         (
             (F.col("n_tokens") >= 10)
-            & (F.col("mean_token_len") >= 2.0)
-            & (F.col("mean_token_len") <= 12.0)
+            & (F.col("_mean_raw") >= 2.0)
+            & (F.col("_mean_raw") <= 12.0)
         ).alias("quality_keep"),
     )
 

@@ -140,9 +140,10 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_partition_hdrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HDRF exact mode (deterministic stream order) — rows-only oracle
-    check (sequential greedy state is not SQL-expressible; exactness vs
-    the Python oracle is covered in tests/test_hdrf.py)."""
+    """HDRF exact mode (deterministic engine-portable stream order) —
+    hash-checked against a literal-VALUES DuckDB oracle generated by
+    the pure-Python HDRF oracle (linkgraph/oracle/literal.py;
+    exactness also pinned in tests/test_hdrf.py)."""
     from linkgraph.partition.hdrf import hdrf_spark
 
     return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=True)
@@ -150,7 +151,7 @@ def q_partition_hdrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_partition_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PowerGraph-greedy vertex-cut (reference algorithms/greedy/
-    greedy.cpp:17-91), exact mode — rows-only check like HDRF."""
+    greedy.cpp:17-91), exact mode — literal-VALUES oracle like HDRF."""
     from linkgraph.partition.hdrf import hdrf_spark
 
     return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=True, mode="greedy")
@@ -158,7 +159,7 @@ def q_partition_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_partition_ldg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LDG streaming vertex partitioner (reference algorithms/ldg/
-    ldg.cpp:80-114), exact seeded mode — rows-only check."""
+    ldg.cpp:80-114), exact seeded mode — literal-VALUES oracle."""
     from linkgraph.partition.vertex import vertex_partition_spark
 
     return vertex_partition_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="ldg")
@@ -166,7 +167,8 @@ def q_partition_ldg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_partition_fennel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fennel streaming vertex partitioner (fennel.cpp:91-133,
-    paper-correct eligibility), exact seeded mode — rows-only check."""
+    paper-correct eligibility), exact seeded mode — literal-VALUES
+    oracle."""
     from linkgraph.partition.vertex import vertex_partition_spark
 
     return vertex_partition_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="fennel")
@@ -174,7 +176,8 @@ def q_partition_fennel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vertex_cut_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-cut rate + vertex balance (vertexPartitioner.cpp:34-51)
-    for LDG and Fennel — rows-only (partitioner not SQL-expressible)."""
+    for LDG and Fennel — checked against the Python-oracle-derived
+    literal (linkgraph/oracle/literal.py)."""
     from linkgraph.partition.metrics import vertex_partition_metrics
     from linkgraph.partition.vertex import vertex_partition_spark
 

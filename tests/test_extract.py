@@ -26,6 +26,32 @@ def test_extraction_matches_ground_truth(spark, corpus):
     assert len(ids) == max(v for e in truth for v in e) + 1
 
 
+def test_file_ids_dense_no_global_sort(spark, corpus):
+    """file_ids must equal row_number() over (order by repo, path)
+    (dense, deterministic) while the plan carries NO single-partition
+    exchange — the distributed dense-id contract (SURVEY.md §2.1 S8
+    ingest at 10^12 files)."""
+    files, _ = corpus
+    code = files.where(F.col("lang") == "python")
+    got = {(r["repo"], r["path"]): r["vid"] for r in file_ids(code).collect()}
+    want_order = sorted(
+        {(r["repo"], r["path"]) for r in code.select("repo", "path").collect()}
+    )
+    want = {rp: i for i, rp in enumerate(want_order)}
+    assert got == want
+    plan = file_ids(code)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_file_ids_partition_count_invariant(spark, corpus):
+    """Same ids at any parallelism (per-partition offsets compose)."""
+    files, _ = corpus
+    code = files.where(F.col("lang") == "python")
+    a = {r["repo"] + r["path"]: r["vid"] for r in file_ids(code, 2).collect()}
+    b = {r["repo"] + r["path"]: r["vid"] for r in file_ids(code, 7).collect()}
+    assert a == b
+
+
 def test_text_rows_produce_no_edges(spark, corpus):
     files, _ = corpus
     parsed = parse_imports(files, langs=("python",))

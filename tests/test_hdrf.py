@@ -4,7 +4,7 @@ invariants (completeness, balance cap, RF better than hash)."""
 import pytest
 from pyspark.sql import functions as F
 
-from linkgraph.partition.hdrf import hdrf_oracle, hdrf_spark
+from linkgraph.partition.hdrf import hdrf_oracle, hdrf_spark, stream_ord_expr, stream_ord_py
 from linkgraph.partition.metrics import assert_complete, edge_partition_metrics
 from linkgraph.partition.strategies import hash_edges
 from linkgraph.synth import graph_edges
@@ -18,11 +18,24 @@ def powerlaw():
 def _stream_order(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     rows = (
-        df.withColumn("_o", F.xxhash64("src", "dst", F.lit(985)))
+        df.withColumn("_o", stream_ord_expr())
         .orderBy("_o", "src", "dst")
         .collect()
     )
     return [(r["src"], r["dst"]) for r in rows]
+
+
+def test_stream_ord_portable(spark):
+    """The Spark stream-order key must equal the pure-Python twin —
+    this is what lets the literal-VALUES DuckDB oracles reproduce the
+    exact-mode stream outside Spark."""
+    df = spark.createDataFrame(
+        [(0, 1), (17, 4242), (999999999999, 3)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"]): r["o"] for r in
+           df.withColumn("o", stream_ord_expr()).collect()}
+    for (u, v), o in got.items():
+        assert o == stream_ord_py(u, v)
 
 
 @pytest.mark.parametrize("k", [4, 8])

@@ -1,0 +1,77 @@
+"""End-to-end proof that the literal-VALUES DuckDB oracles
+(linkgraph/oracle/literal.py) reproduce the Spark driver queries
+exactly — same rows, same values — at sf0.001. This is the same
+comparison the driver's correctness gate performs at sf0.01."""
+
+import duckdb
+import pytest
+
+from linkgraph.oracle import literal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetch_df()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("mode", ["hdrf", "greedy"])
+def test_edge_partitioner_literal_matches_spark(spark, mode):
+    from linkgraph.queries import q_partition_greedy, q_partition_hdrf
+
+    q = q_partition_hdrf if mode == "hdrf" else q_partition_greedy
+    got = {
+        (r["src"], r["dst"]): r["partition"] for r in q(spark, SF).collect()
+    }
+    sql = (
+        literal.sql_partition_hdrf(SF)
+        if mode == "hdrf"
+        else literal.sql_partition_greedy(SF)
+    )
+    oracle = _duck(sql)
+    want = {
+        (int(r.src), int(r.dst)): int(r.partition)
+        for r in oracle.itertuples()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["ldg", "fennel"])
+def test_vertex_partitioner_literal_matches_spark(spark, mode):
+    from linkgraph.queries import q_partition_fennel, q_partition_ldg
+
+    q = q_partition_ldg if mode == "ldg" else q_partition_fennel
+    got = {r["vid"]: r["partition"] for r in q(spark, SF).collect()}
+    sql = (
+        literal.sql_partition_ldg(SF)
+        if mode == "ldg"
+        else literal.sql_partition_fennel(SF)
+    )
+    oracle = _duck(sql)
+    want = {int(r.vid): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
+
+
+def test_vertex_cut_metrics_literal_matches_spark(spark):
+    from linkgraph.queries import q_vertex_cut_metrics
+
+    got = {
+        r["strategy"]: (
+            r["m"], r["edge_cut"], r["edge_cut_rate"], r["n"],
+            r["max_vertex"], r["load_balance"],
+        )
+        for r in q_vertex_cut_metrics(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_vertex_cut_metrics(SF))
+    want = {
+        r.strategy: (
+            int(r.m), int(r.edge_cut), float(r.edge_cut_rate), int(r.n),
+            int(r.max_vertex), float(r.load_balance),
+        )
+        for r in oracle.itertuples()
+    }
+    assert got == want

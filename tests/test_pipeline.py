@@ -86,6 +86,35 @@ def test_minhash_exact_dup_shares_all_bands(spark, planted_docs):
     assert row is not None and row["shared_bands"] == dedup.NUM_BANDS
 
 
+def test_lsh_mega_bucket_capped(spark, planted_docs):
+    """Planted boilerplate (many byte-identical docs → one degenerate
+    LSH bucket) must NOT go quadratic: with the bucket-size cap the
+    boilerplate contributes zero candidate pairs (it's exact-dup
+    territory), while genuine near-dup pairs still surface."""
+    docs, near_pairs, _ = planted_docs
+    boiler = spark.range(1000, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated verbatim for every doc").alias(
+            "text"
+        ),
+    )
+    poisoned = docs.unionByName(boiler)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            poisoned, max_bucket_size=50
+        ).collect()
+    }
+    # no pair among the 200 boilerplate docs (200²/2 ≈ 20k would have
+    # swamped the join)
+    assert not any(a >= 1000 and b >= 1000 for a, b in capped)
+    found = sum(1 for p in near_pairs if p in capped)
+    assert found >= 4, f"cap must not hurt genuine near-dup recall: {found}/5"
+    # and the boilerplate is still collapsed by the linear-cost path
+    exact = dedup.dedup_exact(poisoned).where(F.col("n_copies") >= 200)
+    assert exact.count() == 1
+
+
 def test_simhash_locality(spark, planted_docs):
     """Near-dup docs get nearby simhashes (small Hamming distance);
     exact dups identical."""

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.partition.metrics import vertex_partition_metrics
 from linkgraph.partition.vertex import (
+    vertex_partition_chunked,
     vertex_partition_oracle,
     vertex_partition_spark,
 )
@@ -50,6 +51,48 @@ def test_balance_and_cut_quality(spark, edges_df, powerlaw, mode):
     )
     m_rand = vertex_partition_metrics(e, random_vp, k).first()
     assert m["edge_cut_rate"] < m_rand["edge_cut_rate"]
+
+
+@pytest.mark.parametrize("mode", ["ldg", "fennel"])
+def test_chunked_completeness_and_balance(spark, edges_df, powerlaw, mode):
+    """Chunked scale mode: every vertex assigned exactly once, balance
+    within the budgeted bound, cut better than random."""
+    k = 4
+    e = edges_df(powerlaw)
+    vp = vertex_partition_chunked(e, k, mode=mode, num_chunks=4)
+    n_vertices = len({x for ed in powerlaw for x in ed})
+    assert vp.count() == n_vertices
+    assert vp.select("vid").distinct().count() == n_vertices
+    assert vp.where((F.col("partition") < 0) | (F.col("partition") >= k)).count() == 0
+    m = vertex_partition_metrics(e, vp, k).first()
+    assert m["load_balance"] <= 1.35
+    random_vp = vp.select(
+        "vid", F.pmod(F.xxhash64("vid"), F.lit(k)).cast("long").alias("partition")
+    )
+    m_rand = vertex_partition_metrics(e, random_vp, k).first()
+    assert m["edge_cut_rate"] < m_rand["edge_cut_rate"]
+
+
+@pytest.mark.parametrize("mode", ["ldg", "fennel"])
+def test_chunked_cut_within_bound_of_exact(spark, edges_df, powerlaw, mode):
+    """Documented approximation bound: chunked edge-cut ≤ 1.35× exact
+    on the power-law fixture (staleness costs, but bounded)."""
+    k = 4
+    e = edges_df(powerlaw)
+    exact = vertex_partition_spark(e, k, mode=mode)
+    chunked = vertex_partition_chunked(e, k, mode=mode, num_chunks=4)
+    cut_exact = vertex_partition_metrics(e, exact, k).first()["edge_cut_rate"]
+    cut_chunked = vertex_partition_metrics(e, chunked, k).first()["edge_cut_rate"]
+    assert cut_chunked <= cut_exact * 1.35
+
+
+def test_chunked_deterministic(spark, edges_df, powerlaw):
+    e = edges_df(powerlaw)
+    a = {r["vid"]: r["partition"]
+         for r in vertex_partition_chunked(e, 4, num_chunks=3).collect()}
+    b = {r["vid"]: r["partition"]
+         for r in vertex_partition_chunked(e, 4, num_chunks=3).collect()}
+    assert a == b
 
 
 def test_fennel_reference_quirk_reproducible():

@@ -41,6 +41,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the literal-VALUES oracles (linkgraph/oracle/literal.py) are
+    # generated for a specific dataset — point them at the one under
+    # test (must happen before oracle_sql() imports the module)
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as se
     from linkgraph.session import get_spark
 
