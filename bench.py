@@ -150,6 +150,19 @@ def run_suite(master: str | None = None) -> dict:
         queries["partition_hdrf_chunked"] = round(time.time() - t0, 3)
         rf["hdrf_chunked"] = row["replication_factor"]
 
+        t0 = time.time()
+        greedy_assigned = hdrf_spark(edges, k, exact=False, mode="greedy")
+        row = edge_partition_metrics(greedy_assigned, k).first()
+        queries["partition_greedy_chunked"] = round(time.time() - t0, 3)
+        rf["greedy_chunked"] = row["replication_factor"]
+
+        from linkgraph.partition.ne import ne_coarse
+
+        t0 = time.time()
+        row = edge_partition_metrics(ne_coarse(edges, k), k).first()
+        queries["partition_ne_coarse"] = round(time.time() - t0, 3)
+        rf["ne_coarse"] = row["replication_factor"]
+
         # other analytics, one timing each
         from linkgraph.algos.cc import connected_components
         from linkgraph.algos.triangles import triangle_total

@@ -97,6 +97,51 @@ def shuffle_edges(edges: DataFrame, seed: int = 985) -> DataFrame:
     return edges.orderBy(F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed)))
 
 
+def adjacency_lists(edges: DataFrame) -> DataFrame:
+    """Edge list → adjacency text lines ``"vid n1 n2 …"`` (neighbors
+    sorted) — the inverse of ``edges_from_adjacency``, used to exercise
+    the S7 converter against a known graph."""
+    sym = symmetrize(edges)
+    return sym.groupBy("src").agg(
+        F.concat_ws(
+            " ",
+            F.col("src").cast("string"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list("dst")),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+        ).alias("value")
+    ).select("value")
+
+
+def edges_from_adjacency(lines: DataFrame) -> DataFrame:
+    """Adjacency-list→edge-list converter (reference S7,
+    /root/reference/converter/conversions.cpp:77-126): each text line is
+    ``vid n1 n2 …``; emit one (src, dst) pair per neighbor, dedup to the
+    canonical one-direction form (src < dst), drop self-loops — the
+    reference's ``sort`` + ``unique`` pass re-expressed as
+    split → posexplode → distinct (narrow explode + one dedup shuffle;
+    comment lines starting with '#'/'%' skipped as in the text scan,
+    conversions.cpp:33-36)."""
+    toks = lines.where(
+        ~F.col("value").startswith("#") & ~F.col("value").startswith("%")
+    ).select(F.split(F.trim(F.col("value")), r"[\s,]+").alias("t"))
+    pairs = toks.select(
+        F.element_at("t", 1).cast("long").alias("u"),
+        F.explode(F.slice("t", 2, 2147483647)).alias("nbr"),
+    ).select("u", F.col("nbr").cast("long").alias("v"))
+    return (
+        pairs.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+        )
+        .distinct()
+    )
+
+
 def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second deterministic graph source: users who acted on the same
     (event_type, hour) are linked — the interaction-graph analog of

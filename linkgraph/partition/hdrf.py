@@ -258,9 +258,74 @@ def _hdrf_exact(
     )
 
 
+def offstream_spark(
+    edges: DataFrame,
+    k: int,
+    ratio: float = 0.5,
+    lamb: float = LAMBDA,
+    balance_ratio: float = BALANCE_RATIO,
+    mode: str = "hdrf",
+    offline_chunks: int = 8,
+) -> DataFrame:
+    """Offstream hybrid partitioning (reference offstreamNH/NG:
+    /root/reference/algorithms/offstreamNH/offstreamNH.cpp:82-182,
+    EDGE_RATIO split at base_graph.hpp:24, base_graph.cpp:64-74): the
+    first ``ratio`` of the edges is partitioned OFFLINE (multi-pass
+    chunked greedy — the batch-quality phase), then the remaining
+    stream is processed in ONE streaming pass whose scorer is seeded
+    from the frozen prefix state (mirrors + partial degrees + loads).
+    This is the incremental-edges story: yesterday's graph is
+    partitioned offline, today's new edges stream against it without
+    reshuffling the prefix.
+
+    Spark mapping: the prefix/suffix split is hash-based (the
+    order-insensitive analog of the reference's stream prefix — the
+    reference shuffles before splitting, so its prefix is a uniform
+    sample too); the state handoff is one aggregation over the prefix
+    assignment into the same DataFrame-carried vstate the chunked path
+    uses. The balance cap is computed from the TOTAL edge count, as in
+    the reference (cap fixed before streaming starts).
+    """
+    m = edges.count()
+    split = F.pmod(F.xxhash64("src", "dst", F.lit(31337)), F.lit(1000)) < int(
+        ratio * 1000
+    )
+    prefix = edges.where(split)
+    suffix = edges.where(~split)
+    pre = _hdrf_chunked(
+        prefix, k, lamb, balance_ratio, offline_chunks, mode=mode, total_edges=m
+    )
+    vstate, loads = _state_from_assignment(pre, k)
+    suf = _hdrf_chunked(
+        suffix, k, lamb, balance_ratio, 1, mode=mode, total_edges=m,
+        init_vstate=vstate, init_loads=loads,
+    )
+    return pre.unionByName(suf)
+
+
+def _state_from_assignment(assigned: DataFrame, k: int):
+    """(vstate DataFrame[vid, pdeg, mirrors], loads k-vector) from an
+    edge assignment — the chunked path's state shape, derived by one
+    distributed aggregation (nothing O(|V|) on the driver)."""
+    touched = assigned.select(F.col("src").alias("vid"), "partition").unionAll(
+        assigned.select(F.col("dst").alias("vid"), "partition")
+    )
+    vstate = touched.groupBy("vid").agg(
+        F.count("*").alias("pdeg"),
+        F.array_sort(F.collect_set("partition")).alias("mirrors"),
+    )
+    loads = np.zeros(k, dtype=np.int64)
+    for r in assigned.groupBy("partition").count().collect():  # ≤ k rows
+        loads[r["partition"]] += r["count"]
+    return vstate, loads
+
+
 def _hdrf_chunked(
     edges: DataFrame, k: int, lamb: float, balance_ratio: float, num_chunks: int,
-    mode: str = "hdrf", route: str = "edge", chunking: str = "geometric",
+    mode: str = "hdrf", route: str = "edge", chunking: str = "uniform",
+    total_edges: int | None = None,
+    init_vstate: DataFrame | None = None,
+    init_loads: np.ndarray | None = None,
 ) -> DataFrame:
     """Chunked-streaming HDRF (the scale path) with DataFrame-carried
     vertex state — NO O(|V|) driver structure anywhere.
@@ -293,7 +358,7 @@ def _hdrf_chunked(
     from linkgraph.rolling import RollingCheckpoint
 
     spark = edges.sparkSession
-    m = edges.count()
+    m = total_edges if total_edges is not None else edges.count()
     cap = max(1, int(balance_ratio * m / k))
     n_tasks = max(2, spark.sparkContext.defaultParallelism)
 
@@ -313,8 +378,10 @@ def _hdrf_chunked(
     }
 
     roll_state = RollingCheckpoint()
-    vstate: DataFrame | None = None
-    loads = np.zeros(k, dtype=np.int64)
+    vstate: DataFrame | None = init_vstate
+    loads = (
+        init_loads.copy() if init_loads is not None else np.zeros(k, dtype=np.int64)
+    )
     results = []
     for c in range(num_chunks):
         if not chunk_sizes.get(c, 0):

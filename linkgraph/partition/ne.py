@@ -1,0 +1,166 @@
+"""Spark-coarse Neighbor-Expansion (NE) edge partitioning.
+
+The reference's flagship algorithm (/root/reference/algorithms/ne/
+ne.cpp:90-198; its only golden artifact, /root/reference/NE_result, is
+NE quality numbers) grows one partition at a time: a min-degree frontier
+heap expands a core set C, neighbors form the boundary S, and edges
+with both endpoints inside C∪S are claimed under a capacity check
+(ne.cpp:324-381). That traversal is inherently sequential and
+heap-driven — anti-idiomatic for DataFrames.
+
+This module is the DISTRIBUTED COARSENING of the same idea, following
+the published distributed-NE design (the repo bundles the paper:
+/root/reference/papers/Distributed Edge Partitioning for Trillion-edge
+Graphs.pdf): all k clusters grow in parallel from low-degree seeds by
+synchronous label-expansion rounds (each round = one join + one
+grouped argmax — pure DataFrame ops), capacity-bounded like the
+reference's core sets; edges are then placed by their endpoints'
+clusters — intra-cluster edges stay home (the C∪S claim), cut edges go
+to the LOWER-degree endpoint's cluster so high-degree vertices are the
+replicated ones (the same replication preference DBH/HDRF encode).
+
+NOT bit-parity with ne.cpp (documented): the reference's
+one-partition-at-a-time growth ordering cannot be reproduced by
+synchronous parallel expansion. The quality bar is relative: on
+community-structured graphs RF must beat chunked HDRF on the same
+input (tests/test_ne.py), matching the role NE plays in the
+reference's own results (NE_result:35 — RF 2.506 at k=32 on com-orkut
+vs HDRF-class streaming RF well above that).
+
+Scale shape: R rounds × (one shuffle join + one grouped argmax), a
+k-vector of cluster sizes on the driver — no O(|V|) driver state; the
+labels DataFrame is rolled through localCheckpoint each round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BALANCE_SLACK = 1.05  # cluster-size cap slack, mirroring base_graph.hpp:22
+
+
+def ne_coarse(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 15,
+    seed: int = 985,
+) -> DataFrame:
+    """NE-coarse edge partitioning → DataFrame[src, dst, partition].
+
+    Phase 1 (vertex clustering): seed k clusters with the k
+    lowest-degree vertices (the reference seeds each partition from the
+    global min-degree vertex, ne.cpp:108-115); each round, every
+    unclustered vertex adjacent to a cluster joins the cluster where it
+    has the most neighbors (ties → lowest cluster id), skipping
+    clusters at capacity ceil(slack·n/k); stragglers (disconnected or
+    only adjacent to closed clusters) fall back to hash placement over
+    open clusters. Phase 2 (edge placement): intra-cluster edges stay;
+    cut edges follow the lower-degree endpoint (ties → src side).
+    """
+    from linkgraph.graph import degrees, symmetrize, vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    spark = edges.sparkSession
+    sym = symmetrize(edges).cache()
+    deg = degrees(edges).cache()
+    n = deg.count()
+    cap = int(np.ceil(BALANCE_SLACK * n / k))
+
+    # k lowest-degree seeds — orderBy().limit(k) is a distributed
+    # take-ordered (per-partition top-k + driver merge of k·P rows),
+    # NOT a global sort; k rows then live on the driver by design
+    seed_rows = deg.orderBy(F.asc("degree"), F.asc("vid")).limit(k).collect()
+    labels = spark.createDataFrame(
+        [(int(r["vid"]), i) for i, r in enumerate(seed_rows)],
+        "vid long, cluster long",
+    )
+    roll = RollingCheckpoint()
+    labels = roll(labels)
+    sizes = np.zeros(k, dtype=np.int64)
+    for r in labels.groupBy("cluster").count().collect():
+        sizes[r["cluster"]] += r["count"]
+    labeled_n = int(sizes.sum())
+
+    w_pick = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("cluster"))
+    for _ in range(rounds):
+        if labeled_n >= n:
+            break
+        open_clusters = [int(c) for c in np.flatnonzero(sizes < cap)]
+        if not open_clusters:
+            break
+        # candidate adoption: unlabeled neighbors of labeled vertices,
+        # each picking its strongest open cluster (ties → lowest id)
+        cand = (
+            sym.join(labels, sym["src"] == labels["vid"])
+            .select(F.col("dst").alias("vid"), "cluster")
+            .where(F.col("cluster").isin(open_clusters))
+            .groupBy("vid", "cluster")
+            .agg(F.count("*").alias("cnt"))
+            .join(labels.select(F.col("vid")), "vid", "left_anti")
+        )
+        # capacity: keep the cnt-strongest adoptions per open cluster
+        # up to its remaining headroom (deterministic tie-break by vid)
+        w_cap = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("vid"))
+        picked = (
+            cand.withColumn("_rn", F.row_number().over(w_pick))
+            .where(F.col("_rn") == 1)
+            .withColumn("_cr", F.row_number().over(w_cap))
+        )
+        headroom = {c: int(cap - sizes[c]) for c in open_clusters}
+        cond = None
+        for c, h in headroom.items():
+            this = (F.col("cluster") == c) & (F.col("_cr") <= h)
+            cond = this if cond is None else (cond | this)
+        picked = picked.where(cond).select("vid", "cluster")
+        new_counts = {
+            r["cluster"]: r["count"]
+            for r in picked.groupBy("cluster").count().collect()
+        }
+        if not new_counts:
+            break
+        labels = roll(labels.unionByName(picked))
+        for c, cnt in new_counts.items():
+            sizes[c] += cnt
+            labeled_n += cnt
+
+    # stragglers → hash over open clusters (or all clusters if none open)
+    open_clusters = [int(c) for c in np.flatnonzero(sizes < cap)] or list(range(k))
+    rest = (
+        vertices(edges)
+        .join(labels, "vid", "left_anti")
+        .withColumn(
+            "cluster",
+            F.element_at(
+                F.array(*[F.lit(c) for c in open_clusters]),
+                (F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(len(open_clusters))) + 1).cast("int"),
+            ).cast("long"),
+        )
+    )
+    labels = labels.unionByName(rest.select("vid", "cluster")).cache()
+
+    # Phase 2: edge placement by endpoint clusters + degree preference
+    lab_deg = labels.join(deg, "vid")
+    ls = lab_deg.select(
+        F.col("vid").alias("src"),
+        F.col("cluster").alias("c_src"),
+        F.col("degree").alias("d_src"),
+    )
+    ld = lab_deg.select(
+        F.col("vid").alias("dst"),
+        F.col("cluster").alias("c_dst"),
+        F.col("degree").alias("d_dst"),
+    )
+    return (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("c_src") == F.col("c_dst"), F.col("c_src"))
+            .when(F.col("d_src") <= F.col("d_dst"), F.col("c_src"))
+            .otherwise(F.col("c_dst"))
+            .alias("partition"),
+        )
+    )

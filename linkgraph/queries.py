@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.graph import degrees, edges_from_events, edges_from_lineitem, vertices
+from linkgraph.graph import (
+    adjacency_lists,
+    degrees,
+    edges_from_adjacency,
+    edges_from_events,
+    edges_from_lineitem,
+    vertices,
+)
 from linkgraph.partition.metrics import edge_partition_metrics
 from linkgraph.partition.strategies import dbh, grid, hash_edges
 
@@ -174,6 +181,29 @@ def q_partition_fennel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vertex_partition_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="fennel")
 
 
+def q_partition_ne_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NE-coarse (distributed neighbor expansion — the reference's
+    flagship ne.cpp:90-198, coarsened to synchronous capacity-bounded
+    label expansion). Rows-only driver check: the iterative expansion
+    is not SQL-expressible; quality (RF beats chunked HDRF on
+    community-structured graphs) is pinned in tests/test_ne.py."""
+    from linkgraph.partition.ne import ne_coarse
+
+    return ne_coarse(edges_from_lineitem(spark, sf_dir), K_HASH)
+
+
+def q_partition_offstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offstream hybrid (offline chunked prefix + one streamed suffix
+    pass against frozen state — reference offstreamNH.cpp:82-182).
+    Rows-only driver check: the chunked task grouping depends on the
+    session's parallelism, so cross-environment literals don't hold;
+    determinism + frozen-prefix + completeness are pinned in
+    tests/test_hdrf.py::test_offstream_hybrid."""
+    from linkgraph.partition.hdrf import offstream_spark
+
+    return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH)
+
+
 def q_vertex_cut_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-cut rate + vertex balance (vertexPartitioner.cpp:34-51)
     for LDG and Fennel — checked against the Python-oracle-derived
@@ -206,6 +236,15 @@ def q_events_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.cc import connected_components
 
     return connected_components(edges_from_events(spark, sf_dir), fixed_iterations=6)
+
+
+def q_edges_adjacency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 adjacency-list→edge-list converter (reference
+    conversions.cpp:77-126): the canonical graph serialized to
+    adjacency text lines and converted back — must reproduce the edge
+    table exactly (oracle: the edges derivation SQL)."""
+    e = edges_from_lineitem(spark, sf_dir)
+    return edges_from_adjacency(adjacency_lists(e))
 
 
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

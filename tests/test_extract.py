@@ -108,3 +108,26 @@ def test_edges_from_events_contract(spark):
     assert {(r["src"], r["dst"]) for r in rows} == {
         (r["src"], r["dst"]) for r in rows2
     }
+
+
+def test_adjacency_roundtrip_and_comment_skip(spark):
+    """S7 converter: adjacency text → edges reproduces the source
+    graph; comment lines ('#'/'%') and duplicate directions collapse
+    (reference conversions.cpp:33-36, 106-109)."""
+    from linkgraph.graph import adjacency_lists, edges_from_adjacency
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    back = {
+        (r["src"], r["dst"])
+        for r in edges_from_adjacency(adjacency_lists(df)).collect()
+    }
+    assert back == set(edges)
+    lines = spark.createDataFrame(
+        [("# comment",), ("% other",), ("5 6 7",), ("6 5",), ("7 7",)],
+        "value string",
+    )
+    got = {
+        (r["src"], r["dst"]) for r in edges_from_adjacency(lines).collect()
+    }
+    assert got == {(5, 6), (5, 7)}  # dedup both directions, no self-loop

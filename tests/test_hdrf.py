@@ -111,8 +111,58 @@ def test_greedy_exact_matches_oracle(spark, edges_df, powerlaw):
     assert got == want
 
 
+def test_greedy_chunked_quality(spark, edges_df, powerlaw):
+    """Chunked greedy (the scale path, same machinery as chunked HDRF):
+    complete, balance-bounded, and RF within a documented bound of
+    exact greedy on the power-law fixture."""
+    k = 8
+    e = edges_df(powerlaw)
+    p = hdrf_spark(e, k, exact=False, num_chunks=4, mode="greedy")
+    assert_complete(e, p, k)
+    mc = edge_partition_metrics(p, k).first()
+    me = edge_partition_metrics(
+        hdrf_spark(e, k, exact=True, mode="greedy"), k
+    ).first()
+    mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
+    assert mc["replication_factor"] < mh["replication_factor"]
+    assert mc["replication_factor"] <= me["replication_factor"] * 1.6
+    assert mc["alpha"] <= 1.3
+
+
 def test_greedy_beats_hash_rf(spark, edges_df, powerlaw):
     e = edges_df(powerlaw)
     mg = edge_partition_metrics(hdrf_spark(e, 8, exact=True, mode="greedy"), 8).first()
     mh = edge_partition_metrics(hash_edges(e, 8, "xxhash64"), 8).first()
     assert mg["replication_factor"] < mh["replication_factor"]
+
+
+def test_offstream_hybrid(spark, edges_df, powerlaw):
+    """Offstream hybrid (offline prefix + streamed suffix, reference
+    offstreamNH.cpp:82-182): complete, deterministic, frozen-prefix
+    property (prefix assignments are what the offline pass alone
+    produces), RF better than hash."""
+    from linkgraph.partition.hdrf import _hdrf_chunked, offstream_spark
+
+    k = 8
+    e = edges_df(powerlaw)
+    out = offstream_spark(e, k, ratio=0.5, offline_chunks=3)
+    assert_complete(e, out, k)
+    got = {(r["src"], r["dst"]): r["partition"] for r in out.collect()}
+    got2 = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in offstream_spark(e, k, ratio=0.5, offline_chunks=3).collect()
+    }
+    assert got == got2
+    # frozen prefix: the offline pass alone must agree on its edges
+    m = e.count()
+    split = F.pmod(F.xxhash64("src", "dst", F.lit(31337)), F.lit(1000)) < 500
+    prefix = e.where(split)
+    pre_alone = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in _hdrf_chunked(prefix, k, 1.1, 1.05, 3, total_edges=m).collect()
+    }
+    for edge, p in pre_alone.items():
+        assert got[edge] == p
+    mo = edge_partition_metrics(out, k).first()
+    mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
+    assert mo["replication_factor"] < mh["replication_factor"]
