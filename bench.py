@@ -176,6 +176,20 @@ def run_suite(master: str | None = None) -> dict:
         extras["n_triangles"] = triangle_total(edges).first()["n_triangles"]
         queries["triangle_total"] = round(time.time() - t0, 3)
 
+        # pipeline ops on the documents table (SimHash: single-agg
+        # bitwise formulation; LSH: bucket join with mega-bucket cap)
+        from linkgraph.pipeline.dedup import minhash_lsh_candidates, simhash
+        from linkgraph.pipeline.text import load_documents
+
+        docs = load_documents(spark, SF_DIR).cache()
+        docs.count()
+        t0 = time.time()
+        simhash(docs).count()
+        queries["simhash"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        minhash_lsh_candidates(docs).count()
+        queries["minhash_lsh"] = round(time.time() - t0, 3)
+
         # CSR-block PageRank, measured in its production shape: edges
         # partitioned + written ONCE as a bucketed table (timed
         # separately — at 100 TB this is a one-time cost amortized over

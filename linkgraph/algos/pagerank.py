@@ -34,6 +34,8 @@ def pagerank(
     tol: float | None = None,
     directed: bool = False,
     checkpoint_every: int = 3,
+    bucket_table: str | None = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Returns ``DataFrame[vid: long, rank: double]``.
 
@@ -41,19 +43,46 @@ def pagerank(
     list first (then no dangling vertices exist and the per-superstep
     dangling-mass job is skipped). With ``tol`` set, stops early when
     max |Δrank| < tol (one extra join per superstep).
+
+    ``bucket_table``: write the (src, dst, outdeg) join input ONCE as a
+    table bucketed+sorted on ``src``. Every superstep's ``links ⋈
+    ranks`` then reads the bucketed scan with ZERO exchange and ZERO
+    sort on the edge side — only the |V|-sized ranks shuffle moves.
+    At test scale AQE broadcasts the ranks side anyway; at 10^9+
+    vertices ranks stop being broadcastable and this is the difference
+    between re-shuffling 100 TB of edges per superstep and not.
     """
     from linkgraph.graph import symmetrize, vertices
 
     g = edges.select("src", "dst") if directed else symmetrize(edges)
     out_deg = g.groupBy("src").agg(F.count("*").alias("outdeg"))
     # one cached join input reused every superstep
-    links = g.join(out_deg, "src").select("src", "dst", "outdeg").cache()
+    links = g.join(out_deg, "src").select("src", "dst", "outdeg")
+    if bucket_table is not None:
+        spark = edges.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+        (
+            links.write.bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .mode("overwrite")
+            .saveAsTable(bucket_table)
+        )
+        links = spark.table(bucket_table)
+    else:
+        links = links.cache()
     verts = vertices(edges).cache()
     n = verts.count()
 
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
+    # directed mode references new_ranks twice per round (messages +
+    # missing-vertex union) and tol mode joins new vs old ranks —
+    # uncheckpointed subtrees re-execute per reference (cost doubles
+    # per un-rolled round), so those modes roll every round; the
+    # single-reference undirected plan is linear and keeps the cadence
+    if directed or tol is not None:
+        checkpoint_every = 1
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     has_dangling = directed and verts.join(

@@ -122,12 +122,15 @@ def pagerank_csr(
             parted = parted.cache()
     out_deg = parted.groupBy("src").agg(F.count("*").alias("outdeg"))
     # mirror routing table: which partitions need each vertex's rank
-    # (only as a *source* — gather side), i.e. distinct (src, partition)
+    # (only as a *source* — gather side), i.e. distinct (src, partition),
+    # with the static out-degree FOLDED IN once — the per-superstep work
+    # is then a single join (routes ⋈ ranks) instead of two
     routes = (
         parted.select(
             F.col("src").alias("vid"), F.col("partition").alias("part")
         )
         .distinct()
+        .join(out_deg.select(F.col("src").alias("vid"), "outdeg"), "vid")
         .cache()
     )
     verts = vertices(edges).cache()
@@ -138,7 +141,6 @@ def pagerank_csr(
 
     roll = RollingCheckpoint()
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    ranks_w_deg = None
 
     def step(key, edges_pdf: pd.DataFrame, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
         if edges_pdf.empty or ranks_pdf.empty:
@@ -165,10 +167,7 @@ def pagerank_csr(
         return pd.DataFrame({"vid": dsts, "partial": partial})
 
     for i in range(iterations):
-        ranks_w_deg = ranks.join(out_deg, ranks["vid"] == out_deg["src"]).select(
-            "vid", "rank", "outdeg"
-        )
-        routed = routes.join(ranks_w_deg, "vid").select(
+        routed = routes.join(ranks, "vid").select(
             "part", "vid", "rank", "outdeg"
         )
         partials = (

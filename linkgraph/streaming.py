@@ -56,6 +56,84 @@ def windowed_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    sessionization with a 30-minute inactivity gap — the streaming twin
+    of the batch ``linkgraph.queries.q_events_sessionize`` (same gap
+    rule, same outputs). State per user = (last event time, sessions
+    so far, current-session length, longest session); each micro-batch
+    folds its (time-ordered) events into the state and emits the
+    user's updated totals. On an in-order feed the final update equals
+    the batch query exactly (tests/test_streaming.py proves it, single-
+    and multi-batch).
+
+    Scale shape: state is per-user (tiny, bounded), partitioned by the
+    group key across executors — the standard streaming-state story;
+    no watermark needed because the state never grows beyond one tuple
+    per user (NoTimeout keeps users' sessions resumable forever)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, cur, mx = state.get
+        else:
+            last_ts, n_sessions, cur, mx = None, 0, 0, 0
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        for t in (x.timestamp() for x in rows["ts"]):
+            if last_ts is None or t - last_ts > 1800:
+                mx = max(mx, cur)
+                n_sessions += 1
+                cur = 1
+            else:
+                cur += 1
+            last_ts = t
+        state.update((last_ts, n_sessions, cur, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "max_session_events": [max(mx, cur)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_sessions long, max_session_events long",
+        stateStructType="last_ts double, n_sessions long, cur_events long, max_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_stream_to_memory(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "sessions",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the stateful sessionizer synchronously (test/demo path);
+    ``max_files_per_trigger=1`` forces one micro-batch per input file
+    to exercise cross-batch state."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sess = sessionize_stream(reader.load(src_path))
+    q = (
+        sess.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_path: str, query_name: str = "events_agg"
 ) -> DataFrame:

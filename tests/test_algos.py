@@ -115,3 +115,50 @@ def test_two_cliques_triangle_count(spark, edges_df):
     """Two K5s share no triangles with the bridge: 2 * C(5,3) = 20."""
     edges = graph_edges("two_cliques_bridge")
     assert triangle_total(edges_df(edges)).first()["n_triangles"] == 20
+
+
+def test_pagerank_bucketed_join_no_edge_exchange(spark, edges_df):
+    """The bucketed links table makes the per-superstep join read the
+    edge side with ZERO exchange (only the ranks side shuffles) — the
+    100 TB shape — while staying numerically identical."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import symmetrize, vertices
+
+    edges = graph_edges("powerlaw_ba", n=150, m=2, seed=3)
+    e = edges_df(edges)
+    a = {r["vid"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+    b = {
+        r["vid"]: r["rank"]
+        for r in pagerank(
+            e, iterations=4, bucket_table="t_pr_links", n_buckets=4
+        ).collect()
+    }
+    assert np.allclose(
+        [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # flatten ranks lineage so the plans contain only join exchanges
+        ranks = (
+            vertices(e).withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+        )
+        bucketed = spark.table("t_pr_links")
+        plan_b = (
+            bucketed.join(ranks, bucketed["src"] == ranks["vid"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        sym = symmetrize(e)
+        links = sym.join(
+            sym.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+        )
+        plan_p = (
+            links.join(ranks, links["src"] == ranks["vid"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan_b.count("Exchange") == 1  # ranks side only
+        assert plan_b.count("Exchange") < plan_p.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_pr_links")
