@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--strategy", default="grid",
-                    choices=["hash", "dbh", "grid", "hdrf", "round_robin"])
+                    choices=["hash", "dbh", "grid", "hdrf", "hdrf_chunked",
+                             "greedy", "greedy_chunked", "offstream",
+                             "ne_coarse", "round_robin"])
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--output", default=None, help="parquet output path")
     args = ap.parse_args()

@@ -59,8 +59,10 @@ def pagerank(
     # one cached join input reused every superstep
     links = g.join(out_deg, "src").select("src", "dst", "outdeg")
     if bucket_table is not None:
+        from linkgraph.csr import drop_table_and_location
+
         spark = edges.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+        drop_table_and_location(spark, bucket_table)
         (
             links.write.bucketBy(n_buckets, "src")
             .sortBy("src")

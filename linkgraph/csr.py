@@ -46,6 +46,26 @@ def build_csr(src: np.ndarray, dst: np.ndarray):
     return uniq, indptr, d
 
 
+def drop_table_and_location(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS + clear a stale warehouse directory.
+
+    A killed run can leave the managed table's directory on disk
+    without a catalog entry in the next session; ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS. Only local ``file:`` warehouse
+    locations are swept (the test/bench path); on a real catalog the
+    DROP alone is authoritative."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
+    except Exception:
+        pass
+
+
 def prepare_bucketed_edges(
     edges: DataFrame,
     k: int,
@@ -65,7 +85,7 @@ def prepare_bucketed_edges(
 
     spark = edges.sparkSession
     parted = partition_edges(symmetrize(edges), strategy, k, hasher=hasher)
-    spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+    drop_table_and_location(spark, bucket_table)
     (
         parted.write.bucketBy(k, "partition")
         .sortBy("partition", "src")
@@ -110,7 +130,7 @@ def pagerank_csr(
         parted = partition_edges(sym, strategy, k, hasher=hasher)
         if bucket_table is not None:
             spark = edges.sparkSession
-            spark.sql(f"DROP TABLE IF EXISTS {bucket_table}")
+            drop_table_and_location(spark, bucket_table)
             (
                 parted.write.bucketBy(k, "partition")
                 .sortBy("partition", "src")

@@ -138,8 +138,24 @@ def partition_edges(
         from linkgraph.partition.hdrf import hdrf_spark
 
         return hdrf_spark(edges, k)
+    if strategy == "hdrf_chunked":
+        from linkgraph.partition.hdrf import hdrf_spark
+
+        return hdrf_spark(edges, k, exact=False)
     if strategy == "greedy":
         from linkgraph.partition.hdrf import hdrf_spark
 
         return hdrf_spark(edges, k, mode="greedy")
+    if strategy == "greedy_chunked":
+        from linkgraph.partition.hdrf import hdrf_spark
+
+        return hdrf_spark(edges, k, exact=False, mode="greedy")
+    if strategy == "offstream":
+        from linkgraph.partition.hdrf import offstream_spark
+
+        return offstream_spark(edges, k)
+    if strategy == "ne_coarse":
+        from linkgraph.partition.ne import ne_coarse
+
+        return ne_coarse(edges, k)
     raise ValueError(f"unknown strategy {strategy!r}")
