@@ -303,17 +303,73 @@ def offstream_spark(
     return pre.unionByName(suf)
 
 
-def _state_from_assignment(assigned: DataFrame, k: int):
+def hdrf_restream(
+    edges: DataFrame,
+    k: int,
+    lamb: float = LAMBDA,
+    balance_ratio: float = BALANCE_RATIO,
+    mode: str = "hdrf",
+    num_chunks: int = 8,
+    passes: int = 2,
+) -> DataFrame:
+    """Restreaming chunked HDRF (ReLDG/ReFennel-style, Nishimura &
+    Ugander's restreaming idea applied to vertex-cut): run the chunked
+    pass, then re-stream the SAME edges with loads reset but the final
+    pass state carried in — pass 2 scores every edge knowing (a) the
+    TRUE total degree of both endpoints (the streaming pass only knows
+    degrees-so-far, which is exactly the information gap the HDRF
+    paper identifies) and (b) each vertex's DOMINANT pass-1 partition
+    as a consolidation prior (carrying the full mirror set was
+    measured to just reproduce pass 1's spread). Cost = ``passes`` ×
+    one chunked pass; each pass is the same scale-safe machinery
+    (DataFrame state, no O(|V|) driver structure).
+
+    Measured at sf0.01/k=32 (exact sequential = 9.87): 2-pass C=12 →
+    RF 10.07 vs 10.22 single-pass C=12 — a real but marginal gain at
+    2× cost on this mildly-skewed graph; single-pass with more chunks
+    dominates the cost/quality frontier here, so the DEFAULT stays
+    single-pass and this operator is for graphs where degree knowledge
+    is worth a full extra pass (heavy power-law streams)."""
+    out = _hdrf_chunked(edges, k, lamb, balance_ratio, num_chunks, mode=mode)
+    for _ in range(passes - 1):
+        vstate, _ = _state_from_assignment(out, k, mirror_mode="top1")
+        out = _hdrf_chunked(
+            edges, k, lamb, balance_ratio, num_chunks, mode=mode,
+            init_vstate=vstate,
+        )
+    return out
+
+
+def _state_from_assignment(assigned: DataFrame, k: int, mirror_mode: str = "all"):
     """(vstate DataFrame[vid, pdeg, mirrors], loads k-vector) from an
     edge assignment — the chunked path's state shape, derived by one
-    distributed aggregation (nothing O(|V|) on the driver)."""
+    distributed aggregation (nothing O(|V|) on the driver).
+
+    ``mirror_mode='top1'`` seeds each vertex with only its DOMINANT
+    partition (most pass-1 edges, ties → lowest id) instead of the
+    full mirror set — the consolidation prior used by the restreaming
+    pass (a full mirror set would just tell pass 2 to reproduce pass
+    1's spread)."""
+    from pyspark.sql import Window
+
     touched = assigned.select(F.col("src").alias("vid"), "partition").unionAll(
         assigned.select(F.col("dst").alias("vid"), "partition")
     )
-    vstate = touched.groupBy("vid").agg(
-        F.count("*").alias("pdeg"),
-        F.array_sort(F.collect_set("partition")).alias("mirrors"),
-    )
+    if mirror_mode == "top1":
+        per = touched.groupBy("vid", "partition").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("partition"))
+        top = per.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
+        deg = touched.groupBy("vid").agg(F.count("*").alias("pdeg"))
+        vstate = deg.join(
+            top.select("vid", F.array("partition").alias("mirrors")), "vid"
+        )
+    else:
+        vstate = touched.groupBy("vid").agg(
+            F.count("*").alias("pdeg"),
+            F.array_sort(F.collect_set("partition")).alias("mirrors"),
+        )
     loads = np.zeros(k, dtype=np.int64)
     for r in assigned.groupBy("partition").count().collect():  # ≤ k rows
         loads[r["partition"]] += r["count"]

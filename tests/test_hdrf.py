@@ -166,3 +166,25 @@ def test_offstream_hybrid(spark, edges_df, powerlaw):
     mo = edge_partition_metrics(out, k).first()
     mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
     assert mo["replication_factor"] < mh["replication_factor"]
+
+
+def test_restream_invariants(spark, edges_df, powerlaw):
+    """2-pass restreaming HDRF: complete, deterministic, balanced, and
+    at least as good as hash (the quality trade-off vs single-pass is
+    documented in the docstring with sf0.01 measurements)."""
+    from linkgraph.partition.hdrf import hdrf_restream
+
+    k = 8
+    e = edges_df(powerlaw)
+    p = hdrf_restream(e, k, num_chunks=3)
+    assert_complete(e, p, k)
+    a = {(r["src"], r["dst"]): r["partition"] for r in p.collect()}
+    b = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in hdrf_restream(e, k, num_chunks=3).collect()
+    }
+    assert a == b
+    mr = edge_partition_metrics(p, k).first()
+    mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
+    assert mr["replication_factor"] < mh["replication_factor"]
+    assert mr["alpha"] <= 1.3
