@@ -205,6 +205,19 @@ def run_suite(master: str | None = None) -> dict:
                      prebuilt=True).count()
         queries["pagerank_csr_3steps"] = round(time.time() - t0, 3)
 
+        # prebuilt-CSR-blob variant: blocks built once at write time,
+        # supersteps ship k blob rows instead of |E| edge rows
+        from linkgraph.csr import pagerank_csr_blocks, prepare_csr_blocks
+
+        t0 = time.time()
+        prepare_csr_blocks(edges, k=16, strategy="grid",
+                           blocks_table="bench_csr_blobs")
+        queries["csr_blob_write"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pagerank_csr_blocks(edges, k=16, blocks_table="bench_csr_blobs",
+                            iterations=3, checkpoint_every=1).count()
+        queries["pagerank_csr_blobs_3steps"] = round(time.time() - t0, 3)
+
     total = sum(queries.values())
     result = {
         "metric": "edges processed/sec per PageRank superstep",

@@ -70,3 +70,30 @@ def test_pagerank_csr_bucketed_matches(spark, edges_df):
         [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12
     )
     spark.sql("DROP TABLE IF EXISTS t_pr_blocks")
+
+
+def test_pagerank_csr_blocks_matches(spark, edges_df):
+    """Prebuilt-CSR-blob PageRank ≡ the cogroup-built CSR path (same
+    math, same blocks) and the blobs table round-trips the arrays."""
+    import numpy as np
+
+    from linkgraph.csr import pagerank_csr_blocks, prepare_csr_blocks
+
+    edges = graph_edges("powerlaw_ba", n=120, m=2, seed=21)
+    e = edges_df(edges)
+    a = {
+        r["vid"]: r["rank"]
+        for r in pagerank_csr(e, k=4, iterations=6).collect()
+    }
+    prepare_csr_blocks(e, k=4, strategy="grid", blocks_table="t_csr_blobs")
+    b = {
+        r["vid"]: r["rank"]
+        for r in pagerank_csr_blocks(
+            e, k=4, blocks_table="t_csr_blobs", iterations=6
+        ).collect()
+    }
+    assert set(a) == set(b)
+    assert np.allclose(
+        [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12
+    )
+    spark.sql("DROP TABLE IF EXISTS t_csr_blobs")
