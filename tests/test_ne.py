@@ -82,3 +82,18 @@ def test_ne_cluster_capacity_bounded(spark, edges_df, communities):
     # every vertex appears in at least one partition; none unassigned
     n_vertices = len({x for ed in communities for x in ed})
     assert n.count() == n_vertices
+
+
+def test_ne_k32_quality_bar(spark, edges_df):
+    """k=32 — the configuration the reference's golden artifact
+    publishes (NE_result:35: RF 2.506 on com-orkut). On a 32-community
+    fixture the coarse variant must stay well under that bar (the
+    reference's own NE quality on clustered inputs), with bounded
+    balance."""
+    k = 32
+    e = edges_df(planted_communities(k=k, size=50, seed=9))
+    p = ne_coarse(e, k)
+    assert_complete(e, p, k)
+    m = edge_partition_metrics(p, k).first()
+    assert m["replication_factor"] < 2.506  # NE_result:35 bar
+    assert m["alpha"] <= 1.35
