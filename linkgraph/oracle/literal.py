@@ -109,6 +109,235 @@ def sql_partition_fennel(sf_dir: str = ORACLE_SF) -> str:
     )
 
 
+def _chunked_replay(
+    edges,
+    k: int,
+    num_chunks: int,
+    mode: str = "hdrf",
+    total_edges: int | None = None,
+    state: dict | None = None,
+    loads=None,
+):
+    """Pure-Python replay of ``linkgraph.partition.hdrf._hdrf_chunked``
+    (fixed DEFAULT_CHUNK_TASKS groups, uniform hash chunking, edge
+    routing): same xxhash64 chunk/task/order keys (oracle.xxh64 is
+    bit-exact vs Spark), same sequential scorer (the very
+    ``_sequential_assign`` the Spark UDF runs), same pre-chunk state
+    snapshot + cap-based per-task budgets. Returns
+    ({edge: partition}, state, loads) so offstream can hand state off
+    between phases exactly like the engine does."""
+    import numpy as np
+
+    from linkgraph.oracle.xxh64 import pmod_xxhash64, xxhash64
+    from linkgraph.partition.hdrf import (
+        BALANCE_RATIO,
+        DEFAULT_CHUNK_TASKS,
+        LAMBDA,
+        _HdrfState,
+        _sequential_assign,
+    )
+
+    W = ("long", "long", "int")
+    m = total_edges if total_edges is not None else len(edges)
+    cap = max(1, int(BALANCE_RATIO * m / k))
+    T = DEFAULT_CHUNK_TASKS
+    state = {} if state is None else state  # vid -> [pdeg, set(partitions)]
+    loads = np.zeros(k, dtype=np.int64) if loads is None else loads
+    out: dict[tuple[int, int], int] = {}
+
+    chunks: dict[int, list] = {}
+    for e in edges:
+        c = pmod_xxhash64(num_chunks, e[0], e[1], 985, widths=W)
+        chunks.setdefault(c, []).append(e)
+    for c in range(num_chunks):
+        chunk = chunks.get(c)
+        if not chunk:
+            continue
+        budget = np.maximum(1, np.ceil((cap - loads) / T)).astype(np.int64)
+        groups: dict[int, list] = {}
+        for e in chunk:
+            groups.setdefault(
+                pmod_xxhash64(T, e[0], e[1], 7919, widths=W), []
+            ).append(e)
+        new_loads = loads.copy()
+        deltas: list[tuple[tuple[int, int], int]] = []
+        for t, ge in groups.items():
+            ge = sorted(
+                ge, key=lambda e: (xxhash64(e[0], e[1], 985, widths=W), e[0], e[1])
+            )
+            vids = np.unique(np.array(ge, dtype=np.int64).ravel())
+            st = _HdrfState(len(vids), k)
+            st.loads = loads.copy()
+            for i, v in enumerate(vids):
+                pdeg, mirrors = state.get(int(v), (0, ()))
+                st.pdeg[i] = pdeg
+                if mirrors:
+                    ps = np.array(sorted(mirrors), dtype=np.int64)
+                    st.set_mirrors(np.full(len(ps), i, dtype=np.int64), ps)
+            src = np.searchsorted(vids, np.array([e[0] for e in ge], dtype=np.int64))
+            dst = np.searchsorted(vids, np.array([e[1] for e in ge], dtype=np.int64))
+            parts = _sequential_assign(
+                src, dst, st, cap, LAMBDA, budget=budget, mode=mode
+            )
+            for e, p in zip(ge, parts):
+                out[e] = int(p)
+                deltas.append((e, int(p)))
+        for (u, v), p in deltas:
+            for x in (u, v):
+                pdeg, mirrors = state.get(x, (0, set()))
+                state[x] = (pdeg + 1, (set(mirrors) | {p}))
+            new_loads[p] += 1
+        loads = new_loads
+    return out, state, loads
+
+
+def _offstream_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Replay of ``offstream_spark(edges, K_HASH)`` defaults: hash
+    prefix split, 8-chunk offline phase, single-pass streamed suffix
+    seeded from the frozen prefix state."""
+    from linkgraph.oracle.xxh64 import pmod_xxhash64
+
+    W = ("long", "long", "int")
+    edges = list(_edges(sf_dir))
+    m = len(edges)
+    prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
+    suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
+    pre, _, _ = _chunked_replay(prefix, K_HASH, 8, total_edges=m)
+    # frozen-state handoff exactly like _state_from_assignment
+    import numpy as np
+
+    state: dict = {}
+    loads = np.zeros(K_HASH, dtype=np.int64)
+    for (u, v), p in pre.items():
+        for x in (u, v):
+            pdeg, mirrors = state.get(x, (0, set()))
+            state[x] = (pdeg + 1, set(mirrors) | {p})
+        loads[p] += 1
+    suf, _, _ = _chunked_replay(
+        suffix, K_HASH, 1, total_edges=m, state=state, loads=loads
+    )
+    return {**pre, **suf}
+
+
+def sql_partition_offstream(sf_dir: str = ORACLE_SF) -> str:
+    a = _offstream_assignment(sf_dir)
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in a.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
+    )
+
+
+def _ne_assignment(sf_dir: str, k: int, rounds: int = 15, seed: int = 985):
+    """Pure-Python replay of ``linkgraph.partition.ne.ne_coarse`` —
+    every stage is deterministic DataFrame logic (sorted seeding,
+    synchronous argmax adoption with capacity windows, xxhash64
+    straggler placement, degree-preferenced edge placement), so it
+    replays exactly; see tests/test_literal_oracle.py."""
+    import numpy as np
+
+    from linkgraph.oracle.xxh64 import pmod_xxhash64
+    from linkgraph.partition.ne import BALANCE_SLACK
+
+    edges = list(_edges(sf_dir))
+    adj: dict[int, list[int]] = {}
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    n = len(deg)
+    cap = int(np.ceil(BALANCE_SLACK * n / k))
+
+    pool = sorted(deg, key=lambda v: (deg[v], v))[: max(16 * k, 64)]
+    hood_of = {}
+    for pv in pool:
+        h = set(adj[pv])
+        for x in list(h):
+            h |= set(adj[x])
+        hood_of[pv] = h
+    picked: list[int] = []
+    covered: set[int] = set()
+    for v in pool:
+        hood = hood_of[v]
+        if v in covered or (hood & covered):
+            continue
+        picked.append(v)
+        covered |= hood | {v}
+        if len(picked) == k:
+            break
+    if len(picked) < k:
+        rest = [
+            (len(hood_of[v] & covered), i, v)
+            for i, v in enumerate(pool)
+            if v not in picked
+        ]
+        for _, _, v in sorted(rest):
+            picked.append(v)
+            covered |= hood_of[v] | {v}
+            if len(picked) == k:
+                break
+
+    cluster = {v: i for i, v in enumerate(picked)}
+    sizes = np.zeros(k, dtype=np.int64)
+    for c in cluster.values():
+        sizes[c] += 1
+    for _ in range(rounds):
+        if len(cluster) >= n:
+            break
+        open_c = set(int(c) for c in np.flatnonzero(sizes < cap))
+        if not open_c:
+            break
+        counts: dict[int, dict[int, int]] = {}
+        for u, c in cluster.items():
+            if c not in open_c:
+                continue
+            for v in adj[u]:
+                if v not in cluster:
+                    counts.setdefault(v, {})[c] = counts.setdefault(v, {}).get(c, 0) + 1
+        picks: dict[int, tuple[int, int]] = {}
+        for v, per in counts.items():
+            best = max(per.items(), key=lambda kv: (kv[1], -kv[0]))
+            picks[v] = (best[0], best[1])  # (cluster, cnt)
+        by_cluster: dict[int, list[tuple[int, int]]] = {}
+        for v, (c, cnt) in picks.items():
+            by_cluster.setdefault(c, []).append((cnt, v))
+        new_any = False
+        for c, lst in by_cluster.items():
+            headroom = int(cap - sizes[c])
+            lst.sort(key=lambda cv: (-cv[0], cv[1]))
+            for cnt, v in lst[:headroom]:
+                cluster[v] = c
+                sizes[c] += 1
+                new_any = True
+        if not new_any:
+            break
+    open_c = [int(c) for c in np.flatnonzero(sizes < cap)] or list(range(k))
+    for v in deg:
+        if v not in cluster:
+            idx = pmod_xxhash64(len(open_c), v, seed, widths=("long", "int"))
+            cluster[v] = open_c[idx]
+
+    out = {}
+    for u, v in edges:
+        cu, cv = cluster[u], cluster[v]
+        if cu == cv:
+            out[(u, v)] = cu
+        elif deg[u] <= deg[v]:
+            out[(u, v)] = cu
+        else:
+            out[(u, v)] = cv
+    return out
+
+
+def sql_partition_ne_coarse(sf_dir: str = ORACLE_SF) -> str:
+    a = _ne_assignment(sf_dir, K_HASH)
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in a.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
+    )
+
+
 def sql_vertex_cut_metrics(sf_dir: str = ORACLE_SF) -> str:
     """Edge-cut rate + vertex balance per strategy, computed from the
     Python-oracle assignments with the reference formulas

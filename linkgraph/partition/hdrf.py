@@ -53,6 +53,13 @@ LAMBDA = 1.1
 BALANCE_RATIO = 1.05
 EPSILON = 1.0
 STREAM_SEED = 985  # reference DEFAULT_SEED (base_graph.hpp:48)
+# Fixed parallel-group count for the chunked paths: output is then a
+# pure function of the input (NOT of the session's core count), so
+# results reproduce across environments and the chunked/offstream
+# modes can be pinned to replay oracles. 32 groups still saturate any
+# smaller local mode (groups ≫ cores is fine); raise explicitly for a
+# wider cluster.
+DEFAULT_CHUNK_TASKS = 32
 
 
 def stream_ord_expr(src: str = "src", dst: str = "dst", seed: int = STREAM_SEED):
@@ -416,7 +423,7 @@ def _hdrf_chunked(
     spark = edges.sparkSession
     m = total_edges if total_edges is not None else edges.count()
     cap = max(1, int(balance_ratio * m / k))
-    n_tasks = max(2, spark.sparkContext.defaultParallelism)
+    n_tasks = DEFAULT_CHUNK_TASKS
 
     if chunking == "geometric":
         # slot ∈ [0, 2^C−1); chunk = floor(log2(slot+1)) gives chunk c

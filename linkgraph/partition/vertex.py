@@ -179,7 +179,6 @@ def vertex_partition_chunked(
     """
     from linkgraph.graph import symmetrize
 
-    spark = edges.sparkSession
     sym = symmetrize(edges).cache()
     verts = (
         sym.select(F.col("src").alias("vid"))
@@ -189,9 +188,11 @@ def vertex_partition_chunked(
         )
         .cache()
     )
+    from linkgraph.partition.hdrf import DEFAULT_CHUNK_TASKS
+
     n = verts.count()
     m = edges.count()
-    n_tasks = max(2, spark.sparkContext.defaultParallelism)
+    n_tasks = DEFAULT_CHUNK_TASKS  # env-independent output (see hdrf.py)
     capacity = n // k + 1  # vertexPartitioner.cpp:10
     load_limit = FENNEL_SLACK * n / k  # fennel.cpp:108-111
     alpha = m * (k ** (GAMMA - 1)) / (n**GAMMA)

@@ -184,8 +184,10 @@ def q_partition_fennel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_partition_ne_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NE-coarse (distributed neighbor expansion — the reference's
     flagship ne.cpp:90-198, coarsened to synchronous capacity-bounded
-    label expansion). Rows-only driver check: the iterative expansion
-    is not SQL-expressible; quality (RF beats chunked HDRF on
+    label expansion). Hash-checked against a literal oracle built by a
+    pure-Python replay of the whole expansion (every stage is
+    deterministic — seeding order, argmax adoption, capacity windows,
+    xxhash64 straggler placement). Quality (RF beats chunked HDRF on
     community-structured graphs) is pinned in tests/test_ne.py."""
     from linkgraph.partition.ne import ne_coarse
 
@@ -195,10 +197,11 @@ def q_partition_ne_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_partition_offstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offstream hybrid (offline chunked prefix + one streamed suffix
     pass against frozen state — reference offstreamNH.cpp:82-182).
-    Rows-only driver check: the chunked task grouping depends on the
-    session's parallelism, so cross-environment literals don't hold;
-    determinism + frozen-prefix + completeness are pinned in
-    tests/test_hdrf.py::test_offstream_hybrid."""
+    Hash-checked against a literal oracle built by a pure-Python
+    replay of the chunked machinery (bit-exact xxhash64 keys +
+    the same sequential scorer; DEFAULT_CHUNK_TASKS pins the task
+    grouping so output is environment-independent). Frozen-prefix /
+    completeness invariants also in tests/test_hdrf.py."""
     from linkgraph.partition.hdrf import offstream_spark
 
     return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH)

@@ -75,3 +75,47 @@ def test_vertex_cut_metrics_literal_matches_spark(spark):
         for r in oracle.itertuples()
     }
     assert got == want
+
+
+def test_xxhash64_port(spark):
+    """The pure-Python xxhash64 must equal Spark's for long columns and
+    int literals (the chunk/task/order keys the replay oracles use)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.oracle.xxh64 import xxhash64
+
+    df = spark.createDataFrame(
+        [(0, 1), (17, 4242), (999999999999, 3), (-5, 7)], "src long, dst long"
+    )
+    rows = df.select(
+        "src", "dst",
+        F.xxhash64("src", "dst", F.lit(985)).alias("h3"),
+        F.xxhash64("src", F.lit(7919)).alias("h2"),
+    ).collect()
+    for r in rows:
+        assert xxhash64(r["src"], r["dst"], 985, widths=("long", "long", "int")) == r["h3"]
+        assert xxhash64(r["src"], 7919, widths=("long", "int")) == r["h2"]
+
+
+def test_offstream_literal_matches_spark(spark):
+    from linkgraph.queries import q_partition_offstream
+
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in q_partition_offstream(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_offstream(SF))
+    want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
+
+
+def test_ne_coarse_literal_matches_spark(spark):
+    from linkgraph.queries import q_partition_ne_coarse
+
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in q_partition_ne_coarse(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_ne_coarse(SF))
+    want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
