@@ -273,17 +273,25 @@ def offstream_spark(
     balance_ratio: float = BALANCE_RATIO,
     mode: str = "hdrf",
     offline_chunks: int = 8,
+    offline: str = "chunked",
 ) -> DataFrame:
     """Offstream hybrid partitioning (reference offstreamNH/NG:
     /root/reference/algorithms/offstreamNH/offstreamNH.cpp:82-182,
     EDGE_RATIO split at base_graph.hpp:24, base_graph.cpp:64-74): the
-    first ``ratio`` of the edges is partitioned OFFLINE (multi-pass
-    chunked greedy — the batch-quality phase), then the remaining
-    stream is processed in ONE streaming pass whose scorer is seeded
-    from the frozen prefix state (mirrors + partial degrees + loads).
-    This is the incremental-edges story: yesterday's graph is
-    partitioned offline, today's new edges stream against it without
-    reshuffling the prefix.
+    first ``ratio`` of the edges is partitioned OFFLINE (the
+    batch-quality phase), then the remaining stream is processed in
+    ONE streaming pass whose scorer is seeded from the frozen prefix
+    state (mirrors + partial degrees + loads). This is the
+    incremental-edges story: yesterday's graph is partitioned offline,
+    today's new edges stream against it without reshuffling the
+    prefix.
+
+    ``offline='chunked'`` uses the multi-pass chunked greedy;
+    ``offline='ne_coarse'`` reproduces the reference's actual pairing
+    (offstreamNH = NE partitions the prefix, HDRF streams the suffix)
+    with the Spark-coarse NE — on community-structured graphs the NE
+    prefix gives the streamed suffix far better mirror targets
+    (tests/test_hdrf.py::test_offstream_ne_offline).
 
     Spark mapping: the prefix/suffix split is hash-based (the
     order-insensitive analog of the reference's stream prefix — the
@@ -299,9 +307,15 @@ def offstream_spark(
     )
     prefix = edges.where(split)
     suffix = edges.where(~split)
-    pre = _hdrf_chunked(
-        prefix, k, lamb, balance_ratio, offline_chunks, mode=mode, total_edges=m
-    )
+    if offline == "ne_coarse":
+        from linkgraph.partition.ne import ne_coarse
+
+        pre = ne_coarse(prefix, k)
+    else:
+        pre = _hdrf_chunked(
+            prefix, k, lamb, balance_ratio, offline_chunks, mode=mode,
+            total_edges=m,
+        )
     vstate, loads = _state_from_assignment(pre, k)
     suf = _hdrf_chunked(
         suffix, k, lamb, balance_ratio, 1, mode=mode, total_edges=m,

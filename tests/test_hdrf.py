@@ -188,3 +188,24 @@ def test_restream_invariants(spark, edges_df, powerlaw):
     mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
     assert mr["replication_factor"] < mh["replication_factor"]
     assert mr["alpha"] <= 1.3
+
+
+def test_offstream_ne_offline(spark, edges_df):
+    """offstream with an NE-coarse offline phase — the reference's
+    actual offstreamNH pairing (NE prefix + streamed HDRF suffix). On
+    a community-structured graph the NE prefix state steers the
+    streamed suffix: complete + materially better RF than the
+    all-chunked hybrid."""
+    from tests.test_ne import planted_communities
+
+    from linkgraph.partition.hdrf import offstream_spark
+
+    k = 4
+    e = edges_df(planted_communities(k=4, size=40, seed=5))
+    out_ne = offstream_spark(e, k, offline="ne_coarse")
+    assert_complete(e, out_ne, k)
+    m_ne = edge_partition_metrics(out_ne, k).first()
+    m_ch = edge_partition_metrics(
+        offstream_spark(e, k, offline_chunks=3), k
+    ).first()
+    assert m_ne["replication_factor"] < m_ch["replication_factor"]
