@@ -252,14 +252,19 @@ def q_edges_adjacency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 vertices by degree (deterministic tie-break by vid) —
-    the skew report / window-function surface (SURVEY.md §2.3)."""
+    the skew report / window-function surface (SURVEY.md §2.3).
+
+    Scale shape: ``orderBy().limit(20)`` compiles to TakeOrderedAndProject
+    (per-partition top-20 + driver-side merge of 20-row heaps — no
+    single-task sort of the full degree table); only the 20 surviving
+    rows go through the unpartitioned ranking window."""
     from pyspark.sql import Window
 
     deg = degrees(edges_from_lineitem(spark, sf_dir))
+    top = deg.orderBy(F.desc("degree"), F.asc("vid")).limit(20)
     w = Window.orderBy(F.desc("degree"), F.asc("vid"))
     return (
-        deg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("vid", "degree", "rnk")
     )
 

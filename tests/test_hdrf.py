@@ -92,6 +92,44 @@ def test_oracle_hub_replication_preference():
     assert len(hub0) > 1
 
 
+def test_hdrf_score_trace_by_hand():
+    """Hand-computed trace of the HDRF *numeric* score formula
+    (hdrf.cpp:68-116): g(x,j) = 1 + (1 - deg_x/(deg_u+deg_v)) when x is
+    mirrored on j else 0; bal(j) = (max-load_j)/(eps+max-min), eps=1;
+    score = g(u)+g(v) + λ·bal; partitions at cap = int(1.05·m/k) are
+    skipped; ties → lowest id. Anchors the score math independently of
+    the engine (the literal-VALUES oracles share the scoring core, so
+    they can't catch a formula-level error — this trace can).
+
+    k=3, m=6 ⇒ cap = int(1.05·6/3) = 2. Stream (= list order here):
+      e1 (1,2): pdeg 1,1; no mirrors; loads [0,0,0] ⇒ bal undefined
+                (min_load unset before any load) ⇒ score 0 everywhere
+                ⇒ tie ⇒ p0. loads [1,0,0].
+      e2 (1,3): pdeg u=2,v=1, s=3; 1 mirrored on p0 ⇒ g(1,p0)=1+(1-2/3)
+                =4/3≈1.3333; bal=[0-?,..]: max=1,min=0 ⇒ bal_j=(1-l_j)/2
+                = [0,.5,.5]; scores [1.3333, 0.55, 0.55] ⇒ p0 (the
+                replication term beats the best balance term). loads
+                [2,0,0].
+      e3 (2,3): p0 at cap(2) ⇒ skipped even though both endpoints are
+                mirrored there; bal p1=p2=(2-0)/(1+2-0)=2/3; g=0 ⇒
+                scores [-inf, 0.7333, 0.7333] ⇒ tie ⇒ p1. loads [2,1,0].
+      e4 (1,4): p0 full; g=0 on p1/p2; bal p1=(2-1)/3=1/3, p2=2/3 ⇒
+                scores [-inf, 0.3667, 0.7333] ⇒ p2 (pure balance
+                decision). loads [2,1,1].
+      e5 (5,6): p0 full; fresh endpoints, g=0; bal p1=p2=(2-1)/(1+2-1)
+                =0.5 ⇒ tie ⇒ p1. loads [2,2,1].
+      e6 (4,5): p0,p1 full ⇒ only p2; 4 mirrored on p2 ⇒ g=1.5;
+                score 1.5+1.1·0.5=2.05 ⇒ p2. loads [2,2,2].
+    """
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (5, 6), (4, 5)]
+    assert hdrf_oracle(edges, 3) == [0, 0, 1, 2, 1, 2]
+    # λ placement check: with λ=4 the balance term at e2 (0.5·4=2.0 on
+    # p1/p2) must beat the replication term on p0 (4/3 + 4·0 = 1.3333,
+    # since bal(p0)=(1-1)/2=0) — e2 flips from p0 to p1. A formula that
+    # scaled g by λ instead of bal would keep e2 on p0.
+    assert hdrf_oracle(edges, 3, lamb=4.0)[1] == 1
+
+
 def test_greedy_rules():
     """Reference greedy rules (greedy.cpp:17-70) on a hand-traced
     stream, k=2: [0-1] → least-loaded (p0); [2-3] → p1 (balance);
