@@ -193,16 +193,17 @@ def _chunked_replay(
 
 def _offstream_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
     """Replay of ``offstream_spark(edges, K_HASH)`` defaults: hash
-    prefix split, 8-chunk offline phase, single-pass streamed suffix
-    seeded from the frozen prefix state."""
+    prefix split, ``OFFSTREAM_OFFLINE_CHUNKS``-chunk offline phase,
+    single-pass streamed suffix seeded from the frozen prefix state."""
     from linkgraph.oracle.xxh64 import pmod_xxhash64
+    from linkgraph.partition.hdrf import OFFSTREAM_OFFLINE_CHUNKS
 
     W = ("long", "long", "int")
     edges = list(_edges(sf_dir))
     m = len(edges)
     prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
     suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
-    pre, _, _ = _chunked_replay(prefix, K_HASH, 8, total_edges=m)
+    pre, _, _ = _chunked_replay(prefix, K_HASH, OFFSTREAM_OFFLINE_CHUNKS, total_edges=m)
     # frozen-state handoff exactly like _state_from_assignment
     import numpy as np
 
@@ -221,6 +222,87 @@ def _offstream_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
 
 def sql_partition_offstream(sf_dir: str = ORACLE_SF) -> str:
     a = _offstream_assignment(sf_dir)
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in a.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
+    )
+
+
+def _offstream_window_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Replay of ``offstream_window_spark(edges, K_HASH)`` defaults:
+    chunked offline prefix (same replay as offstream), then the
+    ADWISE bounded-window suffix pass — per task group, the SAME
+    ``_window_assign`` numpy core the Spark runner executes, over the
+    frozen prefix snapshot (every task sees the same loads/state
+    snapshot, exactly like the parallel groups)."""
+    import numpy as np
+
+    from linkgraph.oracle.xxh64 import pmod_xxhash64, xxhash64
+    from linkgraph.partition.adwise import WINDOW_SIZE, _window_assign
+    from linkgraph.partition.hdrf import (
+        BALANCE_RATIO,
+        DEFAULT_CHUNK_TASKS,
+        LAMBDA,
+        OFFSTREAM_OFFLINE_CHUNKS,
+    )
+
+    W = ("long", "long", "int")
+    k = K_HASH
+    edges = list(_edges(sf_dir))
+    m = len(edges)
+    cap = max(1, int(BALANCE_RATIO * m / k))
+    prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
+    suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
+    pre, _, _ = _chunked_replay(prefix, k, OFFSTREAM_OFFLINE_CHUNKS, total_edges=m)
+
+    # frozen prefix state with per-partition placement counts
+    state: dict[int, tuple[int, dict[int, int]]] = {}
+    loads = np.zeros(k, dtype=np.int64)
+    for (u, v), p in pre.items():
+        for x in (u, v):
+            pdeg, counts = state.get(x, (0, {}))
+            counts = dict(counts)
+            counts[p] = counts.get(p, 0) + 1
+            state[x] = (pdeg + 1, counts)
+        loads[p] += 1
+    T = DEFAULT_CHUNK_TASKS
+    budget = np.maximum(1, np.ceil((cap - loads) / T)).astype(np.int64)
+
+    groups: dict[int, list] = {}
+    for e in suffix:
+        groups.setdefault(
+            pmod_xxhash64(T, e[0], e[1], 7919, widths=W), []
+        ).append(e)
+    out: dict[tuple[int, int], int] = dict(pre)
+    words = (k + 63) // 64
+    for t, ge in groups.items():
+        ge = sorted(
+            ge, key=lambda e: (xxhash64(e[0], e[1], 985, widths=W), e[0], e[1])
+        )
+        vids = np.unique(np.array(ge, dtype=np.int64).ravel())
+        n_local = len(vids)
+        pdeg = np.zeros(n_local, dtype=np.int64)
+        mirrors = np.zeros((n_local, words), dtype=np.uint64)
+        vp = np.zeros((n_local, k), dtype=np.int64)
+        for i, v in enumerate(vids):
+            pd_, counts = state.get(int(v), (0, {}))
+            pdeg[i] = pd_
+            for p, c in counts.items():
+                mirrors[i, p // 64] |= np.uint64(1) << np.uint64(p % 64)
+                vp[i, p] = c
+        src = np.searchsorted(vids, np.array([e[0] for e in ge], dtype=np.int64))
+        dst = np.searchsorted(vids, np.array([e[1] for e in ge], dtype=np.int64))
+        parts = _window_assign(
+            src, dst, k, pdeg, mirrors, vp, loads.copy(), cap, budget,
+            lamb=LAMBDA, window_size=WINDOW_SIZE,
+        )
+        for e, p in zip(ge, parts):
+            out[e] = int(p)
+    return out
+
+
+def sql_partition_offstream_window(sf_dir: str = ORACLE_SF) -> str:
+    a = _offstream_window_assignment(sf_dir)
     return _values_sql(
         sorted((u, v, p) for (u, v), p in a.items()),
         [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],

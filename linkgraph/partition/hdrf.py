@@ -60,6 +60,13 @@ STREAM_SEED = 985  # reference DEFAULT_SEED (base_graph.hpp:48)
 # smaller local mode (groups ≫ cores is fine); raise explicitly for a
 # wider cluster.
 DEFAULT_CHUNK_TASKS = 32
+# Offstream offline-phase chunk count (shared with the replay oracle,
+# linkgraph/oracle/literal.py). 4 halves the offline pass count vs the
+# round-2 default of 8; measured RF cost at sf0.01/k=8 is small and
+# documented in ``offstream_spark``'s docstring — the offline phase
+# exists for state quality, not final RF, so it tolerates coarser
+# chunking better than a pure chunked run does.
+OFFSTREAM_OFFLINE_CHUNKS = 4
 
 
 def stream_ord_expr(src: str = "src", dst: str = "dst", seed: int = STREAM_SEED):
@@ -272,7 +279,7 @@ def offstream_spark(
     lamb: float = LAMBDA,
     balance_ratio: float = BALANCE_RATIO,
     mode: str = "hdrf",
-    offline_chunks: int = 8,
+    offline_chunks: int = OFFSTREAM_OFFLINE_CHUNKS,
     offline: str = "chunked",
 ) -> DataFrame:
     """Offstream hybrid partitioning (reference offstreamNH/NG:
@@ -300,6 +307,16 @@ def offstream_spark(
     assignment into the same DataFrame-carried vstate the chunked path
     uses. The balance cap is computed from the TOTAL edge count, as in
     the reference (cap fixed before streaming starts).
+
+    Default offline_chunks trade-off, measured at sf0.01/k=8 (quiet
+    machine, local[32]): 8 chunks → RF 5.90 @ 23.9s; 4 chunks →
+    RF 6.40 @ 13.5s. The default is 4 — the offline phase's job is to
+    seed mirror/degree state for the streamed suffix, and the +8.5%%
+    RF costs 44%% of the wall time; pass offline_chunks=8+ when the
+    offline phase's own RF matters more than pass count. See also
+    ``linkgraph.partition.adwise.offstream_window_spark`` — the ADWISE
+    window suffix recovers part of the gap (RF 6.31 @ 15.4s, same
+    4-chunk prefix).
     """
     m = edges.count()
     split = F.pmod(F.xxhash64("src", "dst", F.lit(31337)), F.lit(1000)) < int(

@@ -146,26 +146,67 @@ def ne_coarse(
             .join(labels.select(F.col("vid")), "vid", "left_anti")
         )
         # capacity: keep the cnt-strongest adoptions per open cluster
-        # up to its remaining headroom (deterministic tie-break by vid)
-        w_cap = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("vid"))
-        picked = (
+        # up to its remaining headroom (deterministic tie-break by vid).
+        # The per-cluster row_number window sorts that cluster's whole
+        # candidate frontier in ONE task — on a hub-dominated frontier
+        # that task serializes the round. Exact-safe pre-filter first:
+        # from a distributed (cluster, cnt) histogram (≤ distinct cnt
+        # values × k rows on the driver) compute each cluster's
+        # headroom-th largest cnt; candidates strictly below it can
+        # never rank ≤ headroom, so dropping them before the window
+        # changes nothing (ties AT the threshold still compete by vid
+        # inside the window). Result is bit-identical to the unfiltered
+        # window (the replay oracle stays green).
+        headroom = {c: int(cap - sizes[c]) for c in open_clusters}
+        best = (
             cand.withColumn("_rn", F.row_number().over(w_pick))
             .where(F.col("_rn") == 1)
-            .withColumn("_cr", F.row_number().over(w_cap))
+            .select("vid", "cluster", "cnt")
+            .cache()
         )
-        headroom = {c: int(cap - sizes[c]) for c in open_clusters}
+        hist: dict[int, list[tuple[int, int]]] = {}
+        for r in best.groupBy("cluster", "cnt").count().collect():
+            hist.setdefault(int(r["cluster"]), []).append(
+                (int(r["cnt"]), int(r["count"]))
+            )
+        thr: dict[int, int] = {}
+        for c, buckets in hist.items():
+            cum = 0
+            t = 0  # cnt ≥ 1 always → 0 keeps all when candidates < headroom
+            for cnt_val, n_rows in sorted(buckets, reverse=True):
+                cum += n_rows
+                if cum >= headroom[c]:
+                    t = cnt_val
+                    break
+            thr[c] = t
+        w_cap = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("vid"))
         cond = None
         for c, h in headroom.items():
-            this = (F.col("cluster") == c) & (F.col("_cr") <= h)
+            this = (
+                (F.col("cluster") == c)
+                & (F.col("cnt") >= thr.get(c, 0))
+                & (F.col("_cr") <= h)
+            )
             cond = this if cond is None else (cond | this)
-        picked = picked.where(cond).select("vid", "cluster")
+        pre = None
+        for c in headroom:
+            this = (F.col("cluster") == c) & (F.col("cnt") >= thr.get(c, 0))
+            pre = this if pre is None else (pre | this)
+        picked = (
+            best.where(pre)
+            .withColumn("_cr", F.row_number().over(w_cap))
+            .where(cond)
+            .select("vid", "cluster")
+        )
         new_counts = {
             r["cluster"]: r["count"]
             for r in picked.groupBy("cluster").count().collect()
         }
         if not new_counts:
+            best.unpersist()
             break
         labels = roll(labels.unionByName(picked))
+        best.unpersist()
         for c, cnt in new_counts.items():
             sizes[c] += cnt
             labeled_n += cnt

@@ -207,6 +207,19 @@ def q_partition_offstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH)
 
 
+def q_partition_offstream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offstream with the ADWISE bounded-window streaming phase
+    (reference offstreamNA.cpp:155-169/343-405, WINDOW_SIZE=200 at
+    base_graph.hpp:25): the suffix pass buffers a 200-edge window and
+    assigns the window-best (edge, partition) by the three-term
+    λ·lb + rf + cs score each step. Hash-checked against a pure-Python
+    replay oracle sharing the same window core
+    (linkgraph/oracle/literal.py::_offstream_window_assignment)."""
+    from linkgraph.partition.adwise import offstream_window_spark
+
+    return offstream_window_spark(edges_from_lineitem(spark, sf_dir), K_HASH)
+
+
 def q_vertex_cut_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-cut rate + vertex balance (vertexPartitioner.cpp:34-51)
     for LDG and Fennel — checked against the Python-oracle-derived

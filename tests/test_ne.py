@@ -140,3 +140,30 @@ def test_ne_on_overlapping_powerlaw_communities(spark, edges_df):
         hdrf_spark(e, k, exact=False, num_chunks=4), k
     ).first()
     assert m_ne["replication_factor"] < m_hdrf["replication_factor"]
+
+
+@pytest.mark.parametrize(
+    "k,size,bar",
+    [
+        (64, 40, 3.06995),  # NE_result:5  (k=64 com-orkut RF)
+        (128, 30, 3.75668),  # NE_result:65 (k=128 com-orkut RF)
+    ],
+)
+def test_ne_published_bars_k64_k128(spark, edges_df, k, size, bar):
+    """The other two bars the reference's golden artifact publishes
+    (NE_result:5 and :65 — k=32 is covered by test_ne_k32_quality_bar).
+    On community-structured fixtures the coarse variant must stay under
+    the reference's own RF at the same k AND keep its ordering vs
+    chunked HDRF on the identical input. Where the coarse variant falls
+    short of the sequential reference is documented in DIVERGENCES.md
+    (no single-partition-at-a-time growth ⇒ no benefit on
+    community-free graphs — see the bench co-occurrence graph)."""
+    e = edges_df(planted_communities(k=k, size=size, seed=9))
+    p = ne_coarse(e, k)
+    assert_complete(e, p, k)
+    m_ne = edge_partition_metrics(p, k).first()
+    assert m_ne["replication_factor"] < bar
+    m_hdrf = edge_partition_metrics(
+        hdrf_spark(e, k, exact=False, num_chunks=4), k
+    ).first()
+    assert m_ne["replication_factor"] < m_hdrf["replication_factor"]
