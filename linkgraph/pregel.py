@@ -98,12 +98,25 @@ def pagerank_checkpointed(
     iterations: int = 20,
     damping: float = 0.85,
     resume: bool = True,
+    auto_salt_skew: float | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """PageRank with a durable snapshot + counters per superstep.
 
     Resumable: if the checkpoint dir already holds supersteps 0..s,
     computation continues from s (kill the driver mid-run and rerun —
     the same final ranks come out; tests/test_pregel.py proves it).
+
+    ``auto_salt_skew``: the skew counter ACTS, not just records. The
+    routed-message skew per aggregation key is max/avg in-degree of
+    ``links`` (a hub with in-degree 10^8 concentrates one reducer's
+    messages). When it exceeds this threshold, hub destinations (those
+    above ``auto_salt_skew × avg``) get a deterministic src-derived
+    salt (``linkgraph.partition.salt`` semantics) and the message
+    aggregation runs in two stages — partial by (vid, salt), final by
+    vid. Sum is associative, so ranks are unchanged (float order only;
+    tests pin 1e-6). Counters record ``msg_skew`` and ``salted`` so an
+    operator can see the decision in the lineage log.
     """
     from linkgraph.graph import symmetrize, vertices
 
@@ -115,13 +128,47 @@ def pagerank_checkpointed(
     n = verts.count()
     teleport = (1.0 - damping) / n
 
+    salted = False
+    msg_skew = 0.0
+    if auto_salt_skew is not None:
+        stats = (
+            links.groupBy("dst").agg(F.count("*").alias("_in"))
+            .agg(F.max("_in").alias("mx"), F.avg("_in").alias("av"))
+            .first()
+        )
+        msg_skew = float(stats["mx"] / stats["av"]) if stats["av"] else 0.0
+        if msg_skew > auto_salt_skew:
+            hub_cut = float(stats["av"]) * auto_salt_skew
+            hubs = (
+                links.groupBy("dst").agg(F.count("*").alias("_in"))
+                .where(F.col("_in") > hub_cut)
+                .select("dst")
+            )
+            links = (
+                links.join(
+                    F.broadcast(hubs.withColumn("_hot", F.lit(True))), "dst", "left"
+                )
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("_hot").isNotNull(),
+                        F.pmod(F.xxhash64("src"), F.lit(n_salts)),
+                    ).otherwise(F.lit(0)).cast("int"),
+                )
+                .drop("_hot")
+                .cache()
+            )
+            links.count()
+            salted = True
+
     start = ckpt.latest() if resume else None
     if start is None:
         ranks = verts.withColumn("rank", F.lit(1.0 / n))
         ranks = ckpt.write(
             0, ranks,
             {"edges_scanned": 0, "messages_sent": 0,
-             "max_partition_skew": 0.0, "wall_ms": 0.0},
+             "max_partition_skew": 0.0, "wall_ms": 0.0,
+             "msg_skew": round(msg_skew, 4), "salted": salted},
         )
         start = 0
     else:
@@ -129,19 +176,33 @@ def pagerank_checkpointed(
 
     for s in range(start + 1, iterations + 1):
         t0 = time.time()
-        msgs = links.join(ranks, links["src"] == ranks["vid"]).select(
-            F.col("dst").alias("vid"),
-            (F.col("rank") / F.col("outdeg")).alias("c"),
-        )
-        new_ranks = msgs.groupBy("vid").agg(
-            (F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank")
-        )
+        joined = links.join(ranks, links["src"] == ranks["vid"])
+        if salted:
+            msgs = joined.select(
+                F.col("dst").alias("vid"), "_salt",
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            partial = msgs.groupBy("vid", "_salt").agg(
+                F.sum("c").alias("_pc")
+            )
+            new_ranks = partial.groupBy("vid").agg(
+                (F.lit(teleport) + F.lit(damping) * F.sum("_pc")).alias("rank")
+            )
+        else:
+            msgs = joined.select(
+                F.col("dst").alias("vid"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            new_ranks = msgs.groupBy("vid").agg(
+                (F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank")
+            )
         skew = _partition_skew(new_ranks)
         ranks = ckpt.write(
             s, new_ranks,
             {"edges_scanned": m2, "messages_sent": m2,
              "max_partition_skew": round(skew, 4),
-             "wall_ms": round((time.time() - t0) * 1000, 1)},
+             "wall_ms": round((time.time() - t0) * 1000, 1),
+             "msg_skew": round(msg_skew, 4), "salted": salted},
         )
     return ranks
 
