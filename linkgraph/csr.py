@@ -148,13 +148,26 @@ def pagerank_csr_blocks(
     iterations: int = 20,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    superstep_times: list | None = None,
 ) -> DataFrame:
     """PageRank over PREBUILT CSR blobs (see ``prepare_csr_blocks``).
     Numerically identical to ``pagerank_csr`` with the same partition
     strategy (same gather-scatter math, same float order within a
     block). Per superstep: routes ⋈ ranks (one shuffle) cogrouped with
     the k-row blob scan (zero exchange) → per-destination partials →
-    global sum."""
+    global sum.
+
+    The routing table (vid → partitions holding its out-edges, with
+    static out-degree folded in) is derived from the blobs ONCE and
+    force-materialized into the cache before the loop — no superstep
+    re-derives it (the round-2 bench artifact hid this setup cost
+    inside superstep 1).
+
+    ``superstep_times``: pass a list to receive per-superstep wall
+    seconds (meaningful with ``checkpoint_every=1``, where every
+    superstep ends in an eager localCheckpoint)."""
+    import time
+
     from linkgraph.graph import vertices
     from linkgraph.rolling import RollingCheckpoint
 
@@ -168,13 +181,15 @@ def pagerank_csr_blocks(
     # outdeg of a source vertex = its CSR row length summed over blocks
     def routes_of(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                uniq = unpack(row["uniq"])
-                indptr = unpack(row["indptr"])
+            for part, uniq_b, indptr_b in zip(
+                pdf["partition"], pdf["uniq"], pdf["indptr"]
+            ):
+                uniq = unpack(uniq_b)
+                indptr = unpack(indptr_b)
                 yield pd.DataFrame(
                     {
                         "vid": uniq,
-                        "part": row["partition"],
+                        "part": part,
                         "deg_local": np.diff(indptr),
                     }
                 )
@@ -184,6 +199,7 @@ def pagerank_csr_blocks(
     )
     out_deg = local.groupBy("vid").agg(F.sum("deg_local").alias("outdeg"))
     routes = local.select("vid", "part").join(out_deg, "vid").cache()
+    routes.count()  # materialize the routing table OUTSIDE the loop
     verts = vertices(edges).cache()
     n = verts.count()
     teleport = (1.0 - damping) / n
@@ -211,8 +227,9 @@ def pagerank_csr_blocks(
         return pd.DataFrame({"vid": dsts, "partial": partial})
 
     roll = RollingCheckpoint()
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    ranks = roll(verts.withColumn("rank", F.lit(1.0 / n)))
     for i in range(iterations):
+        t0 = time.time()
         routed = routes.join(ranks, "vid").select("part", "vid", "rank", "outdeg")
         partials = (
             blocks.groupby("partition")
@@ -225,6 +242,8 @@ def pagerank_csr_blocks(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_ranks = roll(new_ranks)
         ranks = new_ranks
+        if superstep_times is not None:
+            superstep_times.append(time.time() - t0)
     return ranks.select("vid", "rank")
 
 
@@ -238,6 +257,7 @@ def pagerank_csr(
     hasher: str = "xxhash64",
     bucket_table: str | None = None,
     prebuilt: bool = False,
+    superstep_times: list | None = None,
 ) -> DataFrame:
     """PageRank executed as gather-scatter over per-partition CSR
     blocks (north-star execution shape). Numerically equivalent to
@@ -287,14 +307,17 @@ def pagerank_csr(
         .join(out_deg.select(F.col("src").alias("vid"), "outdeg"), "vid")
         .cache()
     )
+    routes.count()  # materialize the routing table OUTSIDE the loop
     verts = vertices(edges).cache()
     n = verts.count()
     teleport = (1.0 - damping) / n
 
+    import time
+
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    ranks = roll(verts.withColumn("rank", F.lit(1.0 / n)))
 
     def step(key, edges_pdf: pd.DataFrame, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
         if edges_pdf.empty or ranks_pdf.empty:
@@ -321,6 +344,7 @@ def pagerank_csr(
         return pd.DataFrame({"vid": dsts, "partial": partial})
 
     for i in range(iterations):
+        t0 = time.time()
         routed = routes.join(ranks, "vid").select(
             "part", "vid", "rank", "outdeg"
         )
@@ -335,4 +359,6 @@ def pagerank_csr(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_ranks = roll(new_ranks)
         ranks = new_ranks
+        if superstep_times is not None:
+            superstep_times.append(time.time() - t0)
     return ranks.select("vid", "rank")
