@@ -109,3 +109,61 @@ def test_fennel_reference_quirk_reproducible():
     clean = Counter(vertex_partition_oracle(edges, 4, mode="fennel").values())
     assert max(quirk.values()) * 4 / n > 1.5   # runaway reproduced
     assert max(clean.values()) * 4 / n <= 1.35  # paper behavior bounded
+
+
+def test_ldg_score_trace_by_hand():
+    """Hand-computed LDG score trace (ldg.cpp:80-114, capacity =
+    n/k + 1 at vertexPartitioner.cpp:10): score_j = (|N(v) ∩ P_j| +
+    1e-6) · (1 − size_j/capacity). k=2, n=6 ⇒ capacity 4. Graph
+    0-2, 1-3, 2-3, 2-4, 3-5, 4-5; stream order 0..5:
+      v0→p0, v1→p1 (seeds), sizes [1,1]
+      v2: inter [1,0] ⇒ (1+ε)(1−1/4)=0.75 vs ε·0.75 ⇒ p0, sizes [2,1]
+      v3: inter [1,1] ⇒ (1+ε)(1−2/4)=0.5 vs (1+ε)(1−1/4)=0.75 ⇒ p1
+          (equal intersections — the MULTIPLICATIVE balance factor
+          decides; an additive formula would tie and pick p0)
+      v4: inter [1,0] ⇒ 0.5 vs ε/2 ⇒ p0 (intersection beats balance)
+      v5: inter [1,1] ⇒ 0.25 vs 0.5 ⇒ p1
+    """
+    import numpy as np
+
+    from linkgraph.partition.vertex import _assign_stream, _prep
+
+    edges = [(0, 2), (1, 3), (2, 3), (2, 4), (3, 5), (4, 5)]
+    vids, indptr, indices = _prep(edges)
+    parts = _assign_stream(
+        np.arange(6), indptr, indices, 2, "ldg", len(edges)
+    )
+    assert parts.tolist() == [0, 1, 0, 1, 0, 1]
+
+
+def test_fennel_score_trace_by_hand():
+    """Hand-computed Fennel trace (fennel.cpp:91-133): γ=1.5,
+    α = m·k^(γ−1)/n^γ = 5·√2/6^1.5 ≈ 0.48113, αγ ≈ 0.7217,
+    load_limit = 1.1·6/2 = 3.3. Star 0-{2,3,4,5} plus 1-2, stream
+    0..5:
+      v0→p0, v1→p1, sizes [1,1]
+      v2: inter [1,1] ⇒ 1−0.7217 = 0.2783 both ⇒ tie ⇒ p0, sizes [2,1]
+      v3: inter [1,0] ⇒ 1−0.7217·√2 = −0.0206 vs −0.7217 ⇒ p0 [3,1]
+      v4: inter [1,0] ⇒ 1−0.7217·√3 = −0.2500 vs −0.7217 ⇒ p0 [4,1]
+          (p0 still eligible: size 3 ≤ 3.3 at scoring time)
+      v5: p0 now size 4 > 3.3 ⇒ paper-correct mode EXCLUDES it
+          (−inf) ⇒ p1 despite inter [1,0]; the reference quirk
+          (fennel.cpp:119-127) leaves p0 at score 0, which BEATS
+          p1's −0.7217 ⇒ the runaway-partition bug, reproduced
+          bit-for-bit with faithful_quirk=True.
+    """
+    import numpy as np
+
+    from linkgraph.partition.vertex import _assign_stream, _prep
+
+    edges = [(0, 2), (0, 3), (0, 4), (0, 5), (1, 2)]
+    vids, indptr, indices = _prep(edges)
+    paper = _assign_stream(
+        np.arange(6), indptr, indices, 2, "fennel", len(edges)
+    )
+    assert paper.tolist() == [0, 1, 0, 0, 0, 1]
+    quirk = _assign_stream(
+        np.arange(6), indptr, indices, 2, "fennel", len(edges),
+        faithful_quirk=True,
+    )
+    assert quirk.tolist() == [0, 1, 0, 0, 0, 0]
