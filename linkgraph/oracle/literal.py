@@ -191,10 +191,14 @@ def _chunked_replay(
     return out, state, loads
 
 
-def _offstream_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
-    """Replay of ``offstream_spark(edges, K_HASH)`` defaults: hash
-    prefix split, ``OFFSTREAM_OFFLINE_CHUNKS``-chunk offline phase,
-    single-pass streamed suffix seeded from the frozen prefix state."""
+def _offstream_assignment(
+    sf_dir: str, mode: str = "hdrf"
+) -> dict[tuple[int, int], int]:
+    """Replay of ``offstream_spark(edges, K_HASH, mode=mode)``
+    defaults: hash prefix split, ``OFFSTREAM_OFFLINE_CHUNKS``-chunk
+    offline phase, single-pass streamed suffix seeded from the frozen
+    prefix state. ``mode='greedy'`` is the offstreamNG pairing
+    (NE-class offline + PowerGraph-greedy streamed suffix)."""
     from linkgraph.oracle.xxh64 import pmod_xxhash64
     from linkgraph.partition.hdrf import OFFSTREAM_OFFLINE_CHUNKS
 
@@ -203,7 +207,9 @@ def _offstream_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
     m = len(edges)
     prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
     suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
-    pre, _, _ = _chunked_replay(prefix, K_HASH, OFFSTREAM_OFFLINE_CHUNKS, total_edges=m)
+    pre, _, _ = _chunked_replay(
+        prefix, K_HASH, OFFSTREAM_OFFLINE_CHUNKS, mode=mode, total_edges=m
+    )
     # frozen-state handoff exactly like _state_from_assignment
     import numpy as np
 
@@ -215,9 +221,17 @@ def _offstream_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
             state[x] = (pdeg + 1, set(mirrors) | {p})
         loads[p] += 1
     suf, _, _ = _chunked_replay(
-        suffix, K_HASH, 1, total_edges=m, state=state, loads=loads
+        suffix, K_HASH, 1, mode=mode, total_edges=m, state=state, loads=loads
     )
     return {**pre, **suf}
+
+
+def sql_partition_offstream_greedy(sf_dir: str = ORACLE_SF) -> str:
+    a = _offstream_assignment(sf_dir, mode="greedy")
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in a.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
+    )
 
 
 def sql_partition_offstream(sf_dir: str = ORACLE_SF) -> str:

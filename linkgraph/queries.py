@@ -207,6 +207,17 @@ def q_partition_offstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH)
 
 
+def q_partition_offstream_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offstream with a PowerGraph-greedy streamed suffix — the
+    reference's offstreamNG pairing (offstreamNG.cpp:168-205:
+    intersection → union → least-loaded rules against the frozen
+    offline state). Same replay-literal oracle machinery as
+    partition_offstream, mode='greedy'."""
+    from linkgraph.partition.hdrf import offstream_spark
+
+    return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="greedy")
+
+
 def q_partition_offstream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offstream with the ADWISE bounded-window streaming phase
     (reference offstreamNA.cpp:155-169/343-405, WINDOW_SIZE=200 at

@@ -131,3 +131,15 @@ def test_offstream_window_literal_matches_spark(spark):
     oracle = _duck(literal.sql_partition_offstream_window(SF))
     want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
     assert got == want
+
+
+def test_offstream_greedy_literal_matches_spark(spark):
+    from linkgraph.queries import q_partition_offstream_greedy
+
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in q_partition_offstream_greedy(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_offstream_greedy(SF))
+    want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
