@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--strategy", default="grid",
                     choices=["hash", "dbh", "grid", "hdrf", "hdrf_chunked",
                              "greedy", "greedy_chunked", "offstream",
+                             "offstream_greedy", "offstream_window",
                              "ne_coarse", "round_robin"])
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--output", default=None, help="parquet output path")

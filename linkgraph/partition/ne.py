@@ -11,7 +11,13 @@ heap-driven — anti-idiomatic for DataFrames.
 This module is the DISTRIBUTED COARSENING of the same idea, following
 the published distributed-NE design (the repo bundles the paper:
 /root/reference/papers/Distributed Edge Partitioning for Trillion-edge
-Graphs.pdf): all k clusters grow in parallel from low-degree seeds by
+Graphs.pdf). The reference's own parallel fork takes the same shape:
+dne.cpp:124-180 grows ALL partitions concurrently (one thread per
+partition, per-thread min-heaps, CAS edge claims, barrier syncs for
+degree state) — this module's synchronous rounds are that design's
+BSP coarsening, with the barrier as the round boundary and the
+capacity windows as the CAS claim. All k clusters grow in parallel
+from low-degree seeds by
 synchronous label-expansion rounds (each round = one join + one
 grouped argmax — pure DataFrame ops), capacity-bounded like the
 reference's core sets; edges are then placed by their endpoints'

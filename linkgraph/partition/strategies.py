@@ -158,4 +158,12 @@ def partition_edges(
         from linkgraph.partition.ne import ne_coarse
 
         return ne_coarse(edges, k)
+    if strategy == "offstream_greedy":
+        from linkgraph.partition.hdrf import offstream_spark
+
+        return offstream_spark(edges, k, mode="greedy")
+    if strategy == "offstream_window":
+        from linkgraph.partition.adwise import offstream_window_spark
+
+        return offstream_window_spark(edges, k)
     raise ValueError(f"unknown strategy {strategy!r}")
