@@ -52,6 +52,7 @@ def ne_coarse(
     k: int,
     rounds: int = 15,
     seed: int = 985,
+    balance: str = "vertex",
 ) -> DataFrame:
     """NE-coarse edge partitioning → DataFrame[src, dst, partition].
 
@@ -64,6 +65,26 @@ def ne_coarse(
     only adjacent to closed clusters) fall back to hash placement over
     open clusters. Phase 2 (edge placement): intra-cluster edges stay;
     cut edges follow the lower-degree endpoint (ties → src side).
+
+    ``balance``: what the capacity cap counts. ``'vertex'`` (default,
+    the replay-oracle-pinned mode) caps each cluster's VERTEX count at
+    ceil(slack·n/k) — simple, but a cluster of high-degree vertices
+    collects disproportionate edges, so edge balance (alpha) drifts on
+    skewed community sizes (measured 1.42 at k=128). ``'degree'`` caps
+    each cluster's DEGREE SUM at ceil(slack·2m/k) — the closer proxy
+    for final edge load, mirroring the reference's edge-count capacity
+    (ne.cpp:266-270 caps occupied EDGES, not vertices); rounds admit
+    candidates in (cnt desc, vid) order while the cluster's running
+    degree sum fits. Costs one extra join per round (candidate
+    degrees).
+
+    Measured trade (tests/test_ne.py): on the k=128 planted fixture
+    (density skew) degree balance improves alpha 1.42 → 1.26 at ~equal
+    RF; on the size-skewed overlap fixture (uniform per-vertex degree,
+    so vertex count already ∝ degree sum) it only truncates communities
+    earlier and LOSES on both axes (alpha 1.12 → 1.35) — hence vertex
+    balance stays the default and 'degree' is for density-skewed
+    graphs.
     """
     from linkgraph.graph import degrees, symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
@@ -72,7 +93,11 @@ def ne_coarse(
     sym = symmetrize(edges).cache()
     deg = degrees(edges).cache()
     n = deg.count()
-    cap = int(np.ceil(BALANCE_SLACK * n / k))
+    if balance == "degree":
+        two_m = deg.agg(F.sum("degree")).first()[0]
+        cap = int(np.ceil(BALANCE_SLACK * two_m / k))
+    else:
+        cap = int(np.ceil(BALANCE_SLACK * n / k))
 
     # Seeds: k low-degree vertices chosen GREEDILY SPREAD APART — a
     # candidate pool of the 8k lowest-degree vertices (orderBy().limit
@@ -130,9 +155,18 @@ def ne_coarse(
     roll = RollingCheckpoint()
     labels = roll(labels)
     sizes = np.zeros(k, dtype=np.int64)
-    for r in labels.groupBy("cluster").count().collect():
-        sizes[r["cluster"]] += r["count"]
-    labeled_n = int(sizes.sum())
+    if balance == "degree":
+        size_rows = (
+            labels.join(deg, "vid").groupBy("cluster")
+            .agg(F.sum("degree").alias("w")).collect()
+        )
+    else:
+        size_rows = labels.groupBy("cluster").agg(
+            F.count("*").alias("w")
+        ).collect()
+    for r in size_rows:
+        sizes[r["cluster"]] += r["w"]
+    labeled_n = len(picked)
 
     w_pick = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("cluster"))
     for _ in range(rounds):
@@ -151,6 +185,8 @@ def ne_coarse(
             .agg(F.count("*").alias("cnt"))
             .join(labels.select(F.col("vid")), "vid", "left_anti")
         )
+        if balance == "degree":
+            cand = cand.join(deg, "vid")  # candidate degree for the cap
         # capacity: keep the cnt-strongest adoptions per open cluster
         # up to its remaining headroom (deterministic tie-break by vid).
         # The per-cluster row_number window sorts that cluster's whole
@@ -164,10 +200,13 @@ def ne_coarse(
         # inside the window). Result is bit-identical to the unfiltered
         # window (the replay oracle stays green).
         headroom = {c: int(cap - sizes[c]) for c in open_clusters}
+        keep_cols = ["vid", "cluster", "cnt"] + (
+            ["degree"] if balance == "degree" else []
+        )
         best = (
             cand.withColumn("_rn", F.row_number().over(w_pick))
             .where(F.col("_rn") == 1)
-            .select("vid", "cluster", "cnt")
+            .select(*keep_cols)
             .cache()
         )
         hist: dict[int, list[tuple[int, int]]] = {}
@@ -186,12 +225,21 @@ def ne_coarse(
                     break
             thr[c] = t
         w_cap = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("vid"))
+        # the per-cluster budget column: admitted rows are the prefix of
+        # the (cnt desc, vid) order whose row count (vertex balance) or
+        # running degree sum (degree balance) fits the headroom
+        if balance == "degree":
+            fill = F.sum("degree").over(
+                w_cap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            fill = F.row_number().over(w_cap)
         cond = None
         for c, h in headroom.items():
             this = (
                 (F.col("cluster") == c)
                 & (F.col("cnt") >= thr.get(c, 0))
-                & (F.col("_cr") <= h)
+                & (F.col("_fill") <= h)
             )
             cond = this if cond is None else (cond | this)
         pre = None
@@ -200,22 +248,26 @@ def ne_coarse(
             pre = this if pre is None else (pre | this)
         picked = (
             best.where(pre)
-            .withColumn("_cr", F.row_number().over(w_cap))
+            .withColumn("_fill", fill)
             .where(cond)
-            .select("vid", "cluster")
         )
-        new_counts = {
-            r["cluster"]: r["count"]
-            for r in picked.groupBy("cluster").count().collect()
-        }
+        if balance == "degree":
+            agg = picked.groupBy("cluster").agg(
+                F.count("*").alias("nv"), F.sum("degree").alias("w")
+            ).collect()
+        else:
+            agg = picked.groupBy("cluster").agg(
+                F.count("*").alias("nv"), F.count("*").alias("w")
+            ).collect()
+        new_counts = {r["cluster"]: (r["nv"], r["w"]) for r in agg}
         if not new_counts:
             best.unpersist()
             break
-        labels = roll(labels.unionByName(picked))
+        labels = roll(labels.unionByName(picked.select("vid", "cluster")))
         best.unpersist()
-        for c, cnt in new_counts.items():
-            sizes[c] += cnt
-            labeled_n += cnt
+        for c, (nv, w) in new_counts.items():
+            sizes[c] += w
+            labeled_n += nv
 
     # stragglers → hash over open clusters (or all clusters if none open)
     open_clusters = [int(c) for c in np.flatnonzero(sizes < cap)] or list(range(k))
