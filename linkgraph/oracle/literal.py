@@ -323,6 +323,71 @@ def sql_partition_offstream_window(sf_dir: str = ORACLE_SF) -> str:
     )
 
 
+def _offstream_defer_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Replay of ``offstream_defer_spark(edges, K_HASH)`` defaults —
+    the offstreamNWG defer-greedy suffix over the frozen chunked
+    prefix, per task group, sharing ``_defer_greedy_assign`` with the
+    Spark runner."""
+    import numpy as np
+
+    from linkgraph.oracle.xxh64 import pmod_xxhash64, xxhash64
+    from linkgraph.partition.adwise import _defer_greedy_assign
+    from linkgraph.partition.hdrf import (
+        BALANCE_RATIO,
+        DEFAULT_CHUNK_TASKS,
+        OFFSTREAM_OFFLINE_CHUNKS,
+    )
+
+    W = ("long", "long", "int")
+    k = K_HASH
+    edges = list(_edges(sf_dir))
+    m = len(edges)
+    cap = max(1, int(BALANCE_RATIO * m / k))
+    prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
+    suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
+    pre, _, _ = _chunked_replay(prefix, k, OFFSTREAM_OFFLINE_CHUNKS, total_edges=m)
+
+    state: dict[int, set] = {}
+    loads = np.zeros(k, dtype=np.int64)
+    for (u, v), p in pre.items():
+        for x in (u, v):
+            state.setdefault(x, set()).add(p)
+        loads[p] += 1
+    T = DEFAULT_CHUNK_TASKS
+    budget = np.maximum(1, np.ceil((cap - loads) / T)).astype(np.int64)
+
+    groups: dict[int, list] = {}
+    for e in suffix:
+        groups.setdefault(
+            pmod_xxhash64(T, e[0], e[1], 7919, widths=W), []
+        ).append(e)
+    out: dict[tuple[int, int], int] = dict(pre)
+    words = (k + 63) // 64
+    for t, ge in groups.items():
+        ge = sorted(
+            ge, key=lambda e: (xxhash64(e[0], e[1], 985, widths=W), e[0], e[1])
+        )
+        vids = np.unique(np.array(ge, dtype=np.int64).ravel())
+        mirrors = np.zeros((len(vids), words), dtype=np.uint64)
+        for i, v in enumerate(vids):
+            for p in state.get(int(v), ()):
+                mirrors[i, p // 64] |= np.uint64(1) << np.uint64(p % 64)
+        src = np.searchsorted(vids, np.array([e[0] for e in ge], dtype=np.int64))
+        dst = np.searchsorted(vids, np.array([e[1] for e in ge], dtype=np.int64))
+        parts = _defer_greedy_assign(src, dst, k, mirrors, loads.copy(), budget)
+        for e, p in zip(ge, parts):
+            out[e] = int(p)
+    return out
+
+
+def sql_partition_offstream_defer(sf_dir: str = ORACLE_SF) -> str:
+    a = _offstream_defer_assignment(sf_dir)
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in a.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
+    )
+
+
 def _ne_assignment(sf_dir: str, k: int, rounds: int = 15, seed: int = 985):
     """Pure-Python replay of ``linkgraph.partition.ne.ne_coarse`` —
     every stage is deterministic DataFrame logic (sorted seeding,

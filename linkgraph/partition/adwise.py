@@ -141,6 +141,167 @@ def _window_assign(
     return out
 
 
+def _defer_greedy_assign(
+    src_idx: np.ndarray,
+    dst_idx: np.ndarray,
+    k: int,
+    mirrors: np.ndarray,  # (n_local, words) uint64 bitset
+    loads: np.ndarray,
+    budget: np.ndarray,
+) -> np.ndarray:
+    """Defer-greedy assignment — the offstreamNWG streaming semantics
+    (offstreamNWG.cpp:244-330): PowerGraph-greedy rules (least-loaded
+    common partition → least-loaded union → least-loaded of the placed
+    side), except an edge whose endpoints are BOTH fresh (placement
+    would mint two replicas) is deferred into per-vertex buffers; when
+    a later edge places one of its endpoints, the buffered edges
+    cascade (offstreamNWG.cpp:296-330). Edges still deferred at stream
+    end fall through to plain greedy with the least-loaded fallback
+    (the reference's standard_greedy drain, :555, over `vertex_indices`
+    leftovers). Documented divergences (DIVERGENCES.md 7e): the
+    reference's fp-empty branch calls leastLoad on the EMPTY set
+    (offstreamNWG.cpp:286-287 — reads garbage) and erases the wrong
+    vertex's buffer (:330); we use the placed side's set and the
+    correct vertex, and run the cascade on an explicit stack. Shared
+    verbatim by the Spark task runner and the replay oracle."""
+    n_edges = len(src_idx)
+    out = np.full(n_edges, -1, dtype=np.int64)
+    local_cnt = np.zeros(k, dtype=np.int64)
+    part_word = np.arange(k) // 64
+    part_bit = np.uint64(1) << (np.arange(k) % 64).astype(np.uint64)
+    placed = np.zeros(mirrors.shape[0], dtype=bool)
+    placed[:] = mirrors.any(axis=1)
+    pending: dict[int, list[int]] = {}
+    big = np.iinfo(np.int64).max
+
+    def assign_one(i: int, allow_defer: bool) -> None:
+        stack = [i]
+        while stack:
+            j = stack.pop()
+            if out[j] != -1:
+                continue
+            u, v = int(src_idx[j]), int(dst_idx[j])
+            mu = (mirrors[u, part_word] & part_bit) != 0
+            mv = (mirrors[v, part_word] & part_bit) != 0
+            open_ = local_cnt < budget
+            inter = mu & mv & open_
+            uni = (mu | mv) & open_
+            if inter.any():
+                cand = inter
+            elif uni.any():
+                cand = uni
+            elif not placed[u] and not placed[v] and allow_defer:
+                pending.setdefault(u, []).append(j)
+                pending.setdefault(v, []).append(j)
+                continue
+            else:
+                cand = open_ if open_.any() else np.ones(k, dtype=bool)
+            p = int(np.argmin(np.where(cand, loads + local_cnt, big)))
+            out[j] = p
+            bit = np.uint64(1) << np.uint64(p % 64)
+            for x in (u, v):
+                mirrors[x, p // 64] |= bit
+            loads[p] += 1
+            local_cnt[p] += 1
+            for x in (u, v):
+                if not placed[x]:
+                    placed[x] = True
+                    for w in pending.pop(x, []):
+                        stack.append(w)
+
+    for i in range(n_edges):
+        assign_one(i, allow_defer=True)
+    for i in range(n_edges):  # drain leftovers in stream order
+        if out[i] == -1:
+            assign_one(i, allow_defer=False)
+    return out
+
+
+def _make_defer_runner(k: int, budget: np.ndarray, loads: np.ndarray):
+    """applyInPandas factory for one defer-greedy suffix task group:
+    seeds the local mirror bitset from the join columns, then runs
+    ``_defer_greedy_assign``."""
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (pdf["dst"].to_numpy(), pdf["src"].to_numpy(), pdf["_ord"].to_numpy())
+        )
+        pdf = pdf.iloc[order]
+        src_v = pdf["src"].to_numpy()
+        dst_v = pdf["dst"].to_numpy()
+        all_v = np.concatenate([src_v, dst_v])
+        vids, first_idx = np.unique(all_v, return_index=True)
+        words = (k + 63) // 64
+        mirrors = np.zeros((len(vids), words), dtype=np.uint64)
+        mirs = list(pdf["src_mir"]) + list(pdf["dst_mir"])
+        for vi, row_i in enumerate(first_idx):
+            mlist = mirs[row_i]
+            if mlist is None or not len(mlist):
+                continue
+            ps = np.asarray(mlist, dtype=np.int64)
+            np.bitwise_or.at(
+                mirrors,
+                (np.full(len(ps), vi, dtype=np.int64), ps // 64),
+                np.uint64(1) << (ps % 64).astype(np.uint64),
+            )
+        src = np.searchsorted(vids, src_v)
+        dst = np.searchsorted(vids, dst_v)
+        parts = _defer_greedy_assign(src, dst, k, mirrors, loads.copy(), budget)
+        return pd.DataFrame({"src": src_v, "dst": dst_v, "partition": parts})
+
+    return run_group
+
+
+def offstream_defer_spark(
+    edges: DataFrame,
+    k: int,
+    ratio: float = 0.5,
+    lamb: float = LAMBDA,
+    balance_ratio: float = BALANCE_RATIO,
+    offline_chunks: int = OFFSTREAM_OFFLINE_CHUNKS,
+) -> DataFrame:
+    """Offstream with the offstreamNWG defer-greedy streaming phase →
+    DataFrame[src, dst, partition]. Offline prefix = chunked greedy
+    (same as ``offstream_spark``); suffix = one streamed pass per task
+    running ``_defer_greedy_assign`` against the frozen prefix mirror
+    state under per-task balance budgets."""
+    import numpy as np
+
+    from linkgraph.partition.hdrf import _state_from_assignment
+
+    m = edges.count()
+    cap = max(1, int(balance_ratio * m / k))
+    split = F.pmod(F.xxhash64("src", "dst", F.lit(31337)), F.lit(1000)) < int(
+        ratio * 1000
+    )
+    prefix = edges.where(split)
+    suffix = edges.where(~split)
+    pre = _hdrf_chunked(
+        prefix, k, lamb, balance_ratio, offline_chunks, total_edges=m
+    )
+    vstate, loads = _state_from_assignment(pre, k)
+    n_tasks = DEFAULT_CHUNK_TASKS
+    budget = np.maximum(1, np.ceil((cap - loads) / n_tasks)).astype(np.int64)
+
+    s_state = vstate.select(
+        F.col("vid").alias("src"), F.col("mirrors").alias("src_mir")
+    )
+    d_state = vstate.select(
+        F.col("vid").alias("dst"), F.col("mirrors").alias("dst_mir")
+    )
+    joined = (
+        suffix.join(s_state, "src", "left")
+        .join(d_state, "dst", "left")
+        .withColumn("_task", F.pmod(F.xxhash64("src", "dst", F.lit(7919)), F.lit(n_tasks)))
+        .withColumn("_ord", F.xxhash64("src", "dst", F.lit(985)))
+    )
+    suf = joined.groupBy("_task").applyInPandas(
+        _make_defer_runner(k, budget, loads),
+        schema="src long, dst long, partition long",
+    )
+    return pre.unionByName(suf)
+
+
 def _make_window_runner(
     k: int, cap: int, budget: np.ndarray, loads: np.ndarray,
     lamb: float, window_size: int

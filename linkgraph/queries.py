@@ -218,6 +218,18 @@ def q_partition_offstream_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="greedy")
 
 
+def q_partition_offstream_defer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offstream with the offstreamNWG defer-greedy streamed suffix
+    (offstreamNWG.cpp:244-330: greedy rules, but both-endpoints-fresh
+    edges are buffered per vertex and cascade-released once an endpoint
+    gains a placement; leftovers drain greedily at stream end).
+    Hash-checked against a pure-Python replay oracle sharing the same
+    core (linkgraph/oracle/literal.py::_offstream_defer_assignment)."""
+    from linkgraph.partition.adwise import offstream_defer_spark
+
+    return offstream_defer_spark(edges_from_lineitem(spark, sf_dir), K_HASH)
+
+
 def q_partition_offstream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offstream with the ADWISE bounded-window streaming phase
     (reference offstreamNA.cpp:155-169/343-405, WINDOW_SIZE=200 at

@@ -120,3 +120,61 @@ def test_offstream_window_frozen_prefix(spark, edges_df, powerlaw):
     }
     for edge, p in pre_alone.items():
         assert got[edge] == p
+
+
+def test_defer_greedy_defers_fresh_edges():
+    """NWG unit trace: with both endpoints fresh, the edge is NOT
+    assigned until one endpoint gains a placement, then cascades.
+    Stream: A=(0,1) fresh-fresh → deferred; B=(2,0) where 2 is
+    mirrored on p1 → B goes to p1 (union rule) and places 0, which
+    releases A → A joins 0's partition p1 (single-side rule)."""
+    import numpy as np
+
+    from linkgraph.partition.adwise import _defer_greedy_assign
+
+    k = 2
+    mirrors = np.zeros((3, 1), dtype=np.uint64)
+    mirrors[2, 0] = np.uint64(1) << np.uint64(1)  # vertex 2 on p1
+    loads = np.array([5, 5], dtype=np.int64)
+    budget = np.full(k, 100, dtype=np.int64)
+    parts = _defer_greedy_assign(
+        np.array([0, 2]), np.array([1, 0]), k, mirrors, loads, budget
+    )
+    # B (index 1) → p1; cascade assigns A (index 0) → p1 via vertex 0
+    assert parts.tolist() == [1, 1]
+
+
+def test_defer_greedy_drains_leftovers():
+    """A stream of only fresh-fresh edges defers everything; the final
+    drain must still assign every edge (least-loaded fallback)."""
+    import numpy as np
+
+    from linkgraph.partition.adwise import _defer_greedy_assign
+
+    k = 4
+    mirrors = np.zeros((8, 1), dtype=np.uint64)
+    loads = np.zeros(k, dtype=np.int64)
+    budget = np.full(k, 100, dtype=np.int64)
+    parts = _defer_greedy_assign(
+        np.array([0, 2, 4, 6]), np.array([1, 3, 5, 7]), k,
+        mirrors, loads, budget,
+    )
+    assert (parts >= 0).all()
+
+
+def test_offstream_defer_complete_deterministic(spark, edges_df, powerlaw):
+    from linkgraph.partition.adwise import offstream_defer_spark
+
+    k = 8
+    e = edges_df(powerlaw)
+    out = offstream_defer_spark(e, k, offline_chunks=3)
+    assert_complete(e, out, k)
+    a = {(r["src"], r["dst"]): r["partition"] for r in out.collect()}
+    b = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in offstream_defer_spark(e, k, offline_chunks=3).collect()
+    }
+    assert a == b
+    mo = edge_partition_metrics(out, k).first()
+    mh = edge_partition_metrics(hash_edges(e, k, "xxhash64"), k).first()
+    assert mo["replication_factor"] < mh["replication_factor"]

@@ -143,3 +143,15 @@ def test_offstream_greedy_literal_matches_spark(spark):
     oracle = _duck(literal.sql_partition_offstream_greedy(SF))
     want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
     assert got == want
+
+
+def test_offstream_defer_literal_matches_spark(spark):
+    from linkgraph.queries import q_partition_offstream_defer
+
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in q_partition_offstream_defer(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_offstream_defer(SF))
+    want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
