@@ -191,6 +191,37 @@ def _chunked_replay(
     return out, state, loads
 
 
+@lru_cache(maxsize=8)
+def _offstream_split(sf_dir: str):
+    """(prefix, suffix, m) under the shared hash split — cached."""
+    from linkgraph.oracle.xxh64 import pmod_xxhash64
+
+    W = ("long", "long", "int")
+    edges = list(_edges(sf_dir))
+    prefix = tuple(
+        e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500
+    )
+    suffix = tuple(
+        e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500
+    )
+    return prefix, suffix, len(edges)
+
+
+@lru_cache(maxsize=8)
+def _prefix_replay(sf_dir: str, mode: str):
+    """Frozen offline-prefix assignment shared by the three offstream
+    oracles that stream against an hdrf-mode prefix (offstream,
+    offstream_window, offstream_defer) — computed once per (sf, mode).
+    Callers must treat the returned dict as read-only."""
+    from linkgraph.partition.hdrf import OFFSTREAM_OFFLINE_CHUNKS
+
+    prefix, _, m = _offstream_split(sf_dir)
+    pre, _, _ = _chunked_replay(
+        list(prefix), K_HASH, OFFSTREAM_OFFLINE_CHUNKS, mode=mode, total_edges=m
+    )
+    return pre
+
+
 def _offstream_assignment(
     sf_dir: str, mode: str = "hdrf"
 ) -> dict[tuple[int, int], int]:
@@ -199,17 +230,9 @@ def _offstream_assignment(
     offline phase, single-pass streamed suffix seeded from the frozen
     prefix state. ``mode='greedy'`` is the offstreamNG pairing
     (NE-class offline + PowerGraph-greedy streamed suffix)."""
-    from linkgraph.oracle.xxh64 import pmod_xxhash64
-    from linkgraph.partition.hdrf import OFFSTREAM_OFFLINE_CHUNKS
-
-    W = ("long", "long", "int")
-    edges = list(_edges(sf_dir))
-    m = len(edges)
-    prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
-    suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
-    pre, _, _ = _chunked_replay(
-        prefix, K_HASH, OFFSTREAM_OFFLINE_CHUNKS, mode=mode, total_edges=m
-    )
+    _, suffix, m = _offstream_split(sf_dir)
+    suffix = list(suffix)
+    pre = _prefix_replay(sf_dir, mode)
     # frozen-state handoff exactly like _state_from_assignment
     import numpy as np
 
@@ -257,17 +280,14 @@ def _offstream_window_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
         BALANCE_RATIO,
         DEFAULT_CHUNK_TASKS,
         LAMBDA,
-        OFFSTREAM_OFFLINE_CHUNKS,
     )
 
     W = ("long", "long", "int")
     k = K_HASH
-    edges = list(_edges(sf_dir))
-    m = len(edges)
+    _, suffix, m = _offstream_split(sf_dir)
+    suffix = list(suffix)
     cap = max(1, int(BALANCE_RATIO * m / k))
-    prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
-    suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
-    pre, _, _ = _chunked_replay(prefix, k, OFFSTREAM_OFFLINE_CHUNKS, total_edges=m)
+    pre = _prefix_replay(sf_dir, "hdrf")
 
     # frozen prefix state with per-partition placement counts
     state: dict[int, tuple[int, dict[int, int]]] = {}
@@ -332,20 +352,14 @@ def _offstream_defer_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
 
     from linkgraph.oracle.xxh64 import pmod_xxhash64, xxhash64
     from linkgraph.partition.adwise import _defer_greedy_assign
-    from linkgraph.partition.hdrf import (
-        BALANCE_RATIO,
-        DEFAULT_CHUNK_TASKS,
-        OFFSTREAM_OFFLINE_CHUNKS,
-    )
+    from linkgraph.partition.hdrf import BALANCE_RATIO, DEFAULT_CHUNK_TASKS
 
     W = ("long", "long", "int")
     k = K_HASH
-    edges = list(_edges(sf_dir))
-    m = len(edges)
+    _, suffix, m = _offstream_split(sf_dir)
+    suffix = list(suffix)
     cap = max(1, int(BALANCE_RATIO * m / k))
-    prefix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) < 500]
-    suffix = [e for e in edges if pmod_xxhash64(1000, e[0], e[1], 31337, widths=W) >= 500]
-    pre, _, _ = _chunked_replay(prefix, k, OFFSTREAM_OFFLINE_CHUNKS, total_edges=m)
+    pre = _prefix_replay(sf_dir, "hdrf")
 
     state: dict[int, set] = {}
     loads = np.zeros(k, dtype=np.int64)
