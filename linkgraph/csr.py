@@ -247,6 +247,172 @@ def pagerank_csr_blocks(
     return ranks.select("vid", "rank")
 
 
+def _blob_routes(blocks: DataFrame) -> DataFrame:
+    """(vid, part) routing pairs derived from prebuilt CSR blobs —
+    which partitions hold each vertex's out-edges (= which partitions
+    need its state each superstep)."""
+
+    def routes_of(batches):
+        for pdf in batches:
+            for part, uniq_b in zip(pdf["partition"], pdf["uniq"]):
+                yield pd.DataFrame(
+                    {"vid": np.frombuffer(uniq_b, dtype="<i8"), "part": part}
+                )
+
+    return blocks.mapInPandas(routes_of, schema="vid long, part long")
+
+
+def cc_csr_blocks(
+    edges: DataFrame,
+    k: int,
+    blocks_table: str,
+    max_iterations: int = 50,
+    fixed_iterations: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Hash-min connected components executed as gather-scatter over
+    prebuilt CSR blobs (the north-star execution shape for CC, same
+    machinery as ``pagerank_csr_blocks``). Per superstep: labels route
+    to the partitions holding each vertex's edges (one shuffle),
+    cogroup with the k-row blob scan (zero exchange), the UDF computes
+    per-destination PARTIAL label minima (``np.minimum.at`` segment
+    min — a partition emits its local vertex count, not its edge
+    count), and the global min folds the partials with each vertex's
+    own label. Integer min is exact, so results equal the join-based
+    ``connected_components`` bit-for-bit at the same round count
+    (tests/test_csr.py)."""
+    from linkgraph.graph import vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    spark = edges.sparkSession
+    blocks = spark.table(blocks_table)
+    routes = _blob_routes(blocks).cache()
+    routes.count()
+
+    def unpack(b: bytes) -> np.ndarray:
+        return np.frombuffer(b, dtype="<i8")
+
+    def step(key, blk_pdf: pd.DataFrame, lab_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blk_pdf.empty or lab_pdf.empty:
+            return pd.DataFrame({"vid": [], "partial": []}).astype(
+                {"vid": "int64", "partial": "int64"}
+            )
+        row = blk_pdf.iloc[0]
+        uniq = unpack(row["uniq"])
+        indptr = unpack(row["indptr"])
+        indices = unpack(row["indices"])
+        lv = lab_pdf["vid"].to_numpy()
+        order = np.argsort(lv)
+        pos = np.searchsorted(lv[order], uniq)
+        src_lab = lab_pdf["component"].to_numpy()[order][pos]
+        per_edge = np.repeat(src_lab, np.diff(indptr))
+        dsts, inv = np.unique(indices, return_inverse=True)
+        partial = np.full(len(dsts), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(partial, inv, per_edge)
+        return pd.DataFrame({"vid": dsts, "partial": partial})
+
+    roll = RollingCheckpoint()
+    labels = roll(vertices(edges).withColumn("component", F.col("vid")))
+    rounds = fixed_iterations if fixed_iterations is not None else max_iterations
+    prev_sum = None
+    for i in range(rounds):
+        routed = routes.join(labels, "vid").select("part", "vid", "component")
+        partials = (
+            blocks.groupby("partition")
+            .cogroup(routed.groupby("part"))
+            .applyInPandas(step, schema="vid long, partial long")
+        )
+        new_labels = (
+            labels.select("vid", F.col("component").alias("partial"))
+            .unionByName(partials)
+            .groupBy("vid")
+            .agg(F.min("partial").alias("component"))
+        )
+        at_checkpoint = (i + 1) % checkpoint_every == 0 or i == rounds - 1
+        if at_checkpoint:
+            new_labels = roll(new_labels)
+        labels = new_labels
+        if fixed_iterations is None and at_checkpoint:
+            cur_sum = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    return labels.select("vid", "component")
+
+
+def lpa_csr_blocks(
+    edges: DataFrame,
+    k: int,
+    blocks_table: str,
+    iterations: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label propagation over prebuilt CSR blobs. Per
+    superstep the UDF emits per-(destination, label) PARTIAL counts
+    (``np.unique`` over the routed label darts — a partition's output
+    is bounded by its distinct (dst, label) pairs, the same map-side
+    combine the join-based path gets from Spark), the global aggregate
+    sums partials, and the argmax window (cnt desc, label asc — the
+    deterministic tie-break) runs over aggregated counts only.
+    Integer counts are exact ⇒ results equal ``label_propagation``
+    bit-for-bit at the same round count (tests/test_csr.py)."""
+    from pyspark.sql import Window
+
+    from linkgraph.graph import vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    spark = edges.sparkSession
+    blocks = spark.table(blocks_table)
+    routes = _blob_routes(blocks).cache()
+    routes.count()
+
+    def unpack(b: bytes) -> np.ndarray:
+        return np.frombuffer(b, dtype="<i8")
+
+    def step(key, blk_pdf: pd.DataFrame, lab_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blk_pdf.empty or lab_pdf.empty:
+            return pd.DataFrame({"vid": [], "label": [], "cnt": []}).astype(
+                {"vid": "int64", "label": "int64", "cnt": "int64"}
+            )
+        row = blk_pdf.iloc[0]
+        uniq = unpack(row["uniq"])
+        indptr = unpack(row["indptr"])
+        indices = unpack(row["indices"])
+        lv = lab_pdf["vid"].to_numpy()
+        order = np.argsort(lv)
+        pos = np.searchsorted(lv[order], uniq)
+        src_lab = lab_pdf["label"].to_numpy()[order][pos]
+        per_edge = np.repeat(src_lab, np.diff(indptr))
+        pairs = np.stack([indices, per_edge], axis=1)
+        u, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {"vid": u[:, 0], "label": u[:, 1], "cnt": cnt.astype(np.int64)}
+        )
+
+    roll = RollingCheckpoint()
+    labels = roll(vertices(edges).withColumn("label", F.col("vid")))
+    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(iterations):
+        routed = routes.join(labels, "vid").select("part", "vid", "label")
+        partials = (
+            blocks.groupby("partition")
+            .cogroup(routed.groupby("part"))
+            .applyInPandas(step, schema="vid long, label long, cnt long")
+        )
+        counts = partials.groupBy("vid", "label").agg(F.sum("cnt").alias("cnt"))
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_labels = roll(new_labels)
+        labels = new_labels
+    return labels.select("vid", "label")
+
+
 def pagerank_csr(
     edges: DataFrame,
     k: int = 32,

@@ -125,6 +125,33 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e, fixed_iterations=CC_ITERS)
 
 
+def q_components_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components executed over per-partition CSR blobs (the
+    north-star CC execution shape — gather-scatter like
+    pagerank_csr_blocks, integer-exact ⇒ identical to the join-based
+    result, so it shares the components SQL oracle)."""
+    from linkgraph.csr import cc_csr_blocks, prepare_csr_blocks
+
+    e = edges_from_lineitem(spark, sf_dir)
+    prepare_csr_blocks(e, k=K_GRID, strategy="grid",
+                       blocks_table="q_csr_blocks_cc")
+    return cc_csr_blocks(e, K_GRID, "q_csr_blocks_cc",
+                         fixed_iterations=CC_ITERS)
+
+
+def q_label_propagation_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over per-partition CSR blobs (partial counts
+    in the block UDF, global sum + deterministic argmax) — identical
+    to the join-based result, shares the label_propagation oracle."""
+    from linkgraph.csr import lpa_csr_blocks, prepare_csr_blocks
+
+    e = edges_from_lineitem(spark, sf_dir)
+    prepare_csr_blocks(e, k=K_GRID, strategy="grid",
+                       blocks_table="q_csr_blocks_lpa")
+    return lpa_csr_blocks(e, K_GRID, "q_csr_blocks_lpa",
+                          iterations=LPA_ITERS)
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.lpa import label_propagation
 

@@ -97,3 +97,52 @@ def test_pagerank_csr_blocks_matches(spark, edges_df):
         [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12
     )
     spark.sql("DROP TABLE IF EXISTS t_csr_blobs")
+
+
+def test_cc_csr_blocks_equals_join_based(spark, edges_df):
+    """CC over CSR blobs must equal the join-based hash-min result
+    bit-for-bit at the same round count (integer min is exact), and
+    at convergence must equal the Python oracle components."""
+    from linkgraph.algos.cc import connected_components
+    from linkgraph.csr import cc_csr_blocks, prepare_csr_blocks
+    from linkgraph.oracle.numpy_ref import components_py
+    from linkgraph.synth import graph_edges
+
+    edges = graph_edges("powerlaw_ba", n=200, m=2, seed=7)
+    e = edges_df(edges)
+    prepare_csr_blocks(e, k=4, strategy="grid", blocks_table="t_cc_blocks")
+    got = {
+        r["vid"]: r["component"]
+        for r in cc_csr_blocks(e, 4, "t_cc_blocks", fixed_iterations=6).collect()
+    }
+    want = {
+        r["vid"]: r["component"]
+        for r in connected_components(e, fixed_iterations=6).collect()
+    }
+    assert got == want
+    conv = {
+        r["vid"]: r["component"]
+        for r in cc_csr_blocks(e, 4, "t_cc_blocks", max_iterations=40).collect()
+    }
+    assert conv == components_py(edges)
+
+
+def test_lpa_csr_blocks_equals_join_based(spark, edges_df):
+    """LPA over CSR blobs: partial counts + global sum + deterministic
+    argmax must equal the join-based result bit-for-bit."""
+    from linkgraph.algos.lpa import label_propagation
+    from linkgraph.csr import lpa_csr_blocks, prepare_csr_blocks
+    from linkgraph.synth import graph_edges
+
+    edges = graph_edges("two_cliques_bridge")
+    e = edges_df(edges)
+    prepare_csr_blocks(e, k=4, strategy="grid", blocks_table="t_lpa_blocks")
+    got = {
+        r["vid"]: r["label"]
+        for r in lpa_csr_blocks(e, 4, "t_lpa_blocks", iterations=4).collect()
+    }
+    want = {
+        r["vid"]: r["label"]
+        for r in label_propagation(e, iterations=4).collect()
+    }
+    assert got == want
