@@ -101,3 +101,80 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
         assert got == _batch_sessions(spark)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """The 2-hour watermark must actually DROP late data. Batch 1
+    carries events through hour 10; batch 2 (hour 12) lets the 08:00
+    watermark finalize + evict the hour-01 window (append mode emits
+    it); batch 3 then delivers a LATE hour-01:45 event — below the
+    watermark, its state already evicted ⇒ dropped pre-aggregation.
+    The finalized hour-01 window holds ONLY batch 1's two events,
+    while the batch twin over the same files counts all three — the
+    difference is the watermark working. (Learned empirically: a late
+    row landing while its window state is still LIVE is admitted —
+    the watermark is a one-sided bound — so the drop needs the eviction
+    batch in between.)"""
+    import os
+    import time as _time
+
+    from linkgraph.streaming import EVENTS_SCHEMA, windowed_counts_stream
+
+    src = str(tmp_path / "late_in")
+    os.makedirs(src, exist_ok=True)
+
+    def _rows(specs):
+        return spark.createDataFrame(
+            [
+                (i, 100 + i, f"2024-01-01 {h:02d}:{m:02d}:00", "click", 1.0)
+                for i, (h, m) in enumerate(specs)
+            ],
+            "event_id long, user_id long, ts string, event_type string, value double",
+        ).select(
+            "event_id", "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        )
+
+    _rows([(1, 0), (1, 30), (10, 0)]).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/b1"
+    )
+    _time.sleep(1.1)  # file source orders micro-batches by mod time
+    _rows([(12, 0)]).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    _time.sleep(1.1)
+    _rows([(1, 45), (13, 0)]).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/b3"
+    )
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*/*.parquet")
+    )
+    agg = windowed_counts_stream(events)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r["hour"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    # hour-01 window finalized with batch 1's TWO events only — the
+    # hour-01:45 event from batch 2 arrived below the 08:00 watermark
+    assert got[("2024-01-01 01:00:00", "click")] == 2
+    # the batch twin (no watermark) counts all three
+    batch = (
+        spark.read.parquet(f"{src}/b*/*.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .where(F.col("w.start") == "2024-01-01 01:00:00")
+        .first()
+    )
+    assert batch["count"] == 3
