@@ -149,6 +149,8 @@ def pagerank_csr_blocks(
     damping: float = 0.85,
     checkpoint_every: int = 3,
     superstep_times: list | None = None,
+    ckpt=None,
+    resume: bool = True,
 ) -> DataFrame:
     """PageRank over PREBUILT CSR blobs (see ``prepare_csr_blocks``).
     Numerically identical to ``pagerank_csr`` with the same partition
@@ -165,7 +167,16 @@ def pagerank_csr_blocks(
 
     ``superstep_times``: pass a list to receive per-superstep wall
     seconds (meaningful with ``checkpoint_every=1``, where every
-    superstep ends in an eager localCheckpoint)."""
+    superstep ends in an eager localCheckpoint).
+
+    ``ckpt``: a ``linkgraph.pregel.CheckpointManager`` — every
+    superstep then writes a DURABLE snapshot with lineage counters
+    (edges scanned = routed-rank rows bound, messages = partials) and
+    the run resumes from the highest complete superstep (kill + rerun
+    with the same run_id ⇒ identical final ranks,
+    tests/test_csr.py::test_pagerank_csr_checkpointed_resumes). This is
+    the north-star combination: CSR-block gather-scatter execution AND
+    per-superstep durable checkpointing in one loop."""
     import time
 
     from linkgraph.graph import vertices
@@ -227,8 +238,22 @@ def pagerank_csr_blocks(
         return pd.DataFrame({"vid": dsts, "partial": partial})
 
     roll = RollingCheckpoint()
-    ranks = roll(verts.withColumn("rank", F.lit(1.0 / n)))
-    for i in range(iterations):
+    start = 0
+    if ckpt is not None:
+        m2 = 2 * edges.count()  # directed darts scanned per superstep
+        latest = ckpt.latest() if resume else None
+        if latest is None:
+            ranks = ckpt.write(
+                0, verts.withColumn("rank", F.lit(1.0 / n)),
+                {"edges_scanned": 0, "messages_sent": 0,
+                 "max_partition_skew": 0.0, "wall_ms": 0.0},
+            )
+        else:
+            ranks = ckpt.read(latest)
+            start = latest
+    else:
+        ranks = roll(verts.withColumn("rank", F.lit(1.0 / n)))
+    for i in range(start, iterations):
         t0 = time.time()
         routed = routes.join(ranks, "vid").select("part", "vid", "rank", "outdeg")
         partials = (
@@ -239,7 +264,14 @@ def pagerank_csr_blocks(
         new_ranks = partials.groupBy("vid").agg(
             (F.lit(teleport) + F.lit(damping) * F.sum("partial")).alias("rank")
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+        if ckpt is not None:
+            new_ranks = ckpt.write(
+                i + 1, new_ranks,
+                {"edges_scanned": m2, "messages_sent": m2,
+                 "max_partition_skew": 0.0,
+                 "wall_ms": round((time.time() - t0) * 1000, 1)},
+            )
+        elif (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_ranks = roll(new_ranks)
         ranks = new_ranks
         if superstep_times is not None:

@@ -146,3 +146,49 @@ def test_lpa_csr_blocks_equals_join_based(spark, edges_df):
         for r in label_propagation(e, iterations=4).collect()
     }
     assert got == want
+
+
+def test_pagerank_csr_checkpointed_resumes(spark, edges_df, tmp_path):
+    """North-star combination: CSR-blob gather-scatter execution WITH
+    per-superstep durable checkpoints. Run 2 supersteps, 'crash',
+    resume to 5 with the same run_id → identical to an uninterrupted
+    5-superstep run AND to the in-memory CSR path."""
+    from linkgraph.csr import pagerank_csr_blocks, prepare_csr_blocks
+    from linkgraph.pregel import CheckpointManager
+    from linkgraph.synth import graph_edges
+
+    edges = graph_edges("powerlaw_ba", n=150, m=2, seed=3)
+    e = edges_df(edges)
+    prepare_csr_blocks(e, k=4, strategy="grid", blocks_table="t_ckpt_blocks")
+    base = str(tmp_path / "ck")
+
+    def ranks_of(df):
+        return {r["vid"]: r["rank"] for r in df.collect()}
+
+    full = ranks_of(
+        pagerank_csr_blocks(
+            e, 4, "t_ckpt_blocks", iterations=5,
+            ckpt=CheckpointManager(spark, base, "full"),
+        )
+    )
+    part_ck = CheckpointManager(spark, base, "crashy")
+    pagerank_csr_blocks(e, 4, "t_ckpt_blocks", iterations=2, ckpt=part_ck)
+    resumed = ranks_of(
+        pagerank_csr_blocks(
+            e, 4, "t_ckpt_blocks", iterations=5,
+            ckpt=CheckpointManager(spark, base, "crashy"),
+        )
+    )
+    assert set(full) == set(resumed)
+    for v in full:
+        assert abs(full[v] - resumed[v]) < 1e-12
+    plain = ranks_of(
+        pagerank_csr_blocks(
+            e, 4, "t_ckpt_blocks", iterations=5, checkpoint_every=1
+        )
+    )
+    for v in full:
+        assert abs(full[v] - plain[v]) < 1e-12
+    recs = CheckpointManager(spark, base, "crashy").counters()
+    assert [c["superstep"] for c in recs] == [0, 1, 2, 3, 4, 5]
+    assert all(c["edges_scanned"] > 0 for c in recs[1:])
