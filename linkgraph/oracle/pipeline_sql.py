@@ -222,3 +222,42 @@ def sql_media_stats() -> str:
   CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
   CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_pixels
 FROM documents"""
+
+
+def sql_dedup_clusters(iters: int = 6) -> str:
+    """Duplicate clusters: unrolled hash-min CC over the LSH
+    candidate-pair graph (same CTEs as minhash_lsh_candidates), all
+    documents labeled, singletons keeping their own id — matches
+    linkgraph.pipeline.dedup.dedup_clusters at the same round count."""
+    parts = [
+        TOKENS_CTE,
+        SHINGLES_CTE,
+        _MINHASH_CTES,
+        _BUCKETS_CTE,
+        """pairs AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)""",
+        "psym AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)",
+        "pverts AS MATERIALIZED (SELECT DISTINCT a AS vid FROM psym)",
+        "c0 AS (SELECT vid, vid AS component FROM pverts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT vid, min(component) AS component FROM (
+    SELECT s.b AS vid, c.component FROM psym s JOIN c{i - 1} c ON s.a = c.vid
+    UNION ALL
+    SELECT vid, component FROM c{i - 1}
+  ) GROUP BY vid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN c{iters} c ON d.doc_id = c.vid"""
+    )

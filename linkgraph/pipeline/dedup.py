@@ -220,3 +220,35 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.5) -> DataFr
             F.round("cos", 4).alias("cosine"),
         )
     )
+
+
+def dedup_clusters(
+    docs: DataFrame, max_bucket_size: int = 1000, cc_iterations: int = 6
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph → one ``cluster_id`` per document (singletons
+    keep their own id). This is the production dedup shape at 100 TB —
+    candidate pairs are transitive ("A dups B dups C" must collapse to
+    ONE survivor group, which pairwise output alone can't express) —
+    and it composes the engine's two halves: the LSH pipeline emits an
+    edge list, the graph engine's hash-min CC
+    (``linkgraph.algos.cc.connected_components``) labels it. Fixed
+    round count keeps the result identical to the unrolled SQL oracle;
+    near-dup clusters have tiny diameter, so 6 rounds converge."""
+    from linkgraph.algos.cc import connected_components
+
+    pairs = minhash_lsh_candidates(docs, max_bucket_size)
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(e, fixed_iterations=cc_iterations)
+    return (
+        docs.select("doc_id")
+        .join(
+            comp.select(F.col("vid").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+    )

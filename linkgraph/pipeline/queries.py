@@ -66,3 +66,7 @@ def q_ann_buckets(spark, sf_dir):
 
 def q_media_stats(spark, sf_dir):
     return multimodal.media_stats(multimodal.synthesize_media(spark, sf_dir))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(_docs(spark, sf_dir))

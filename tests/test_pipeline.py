@@ -183,3 +183,23 @@ def test_quality_and_tokens_consistent(spark, planted_docs):
     for did in q:
         assert q[did]["n_tokens"] == t[did]["n_tokens"]
         assert q[did]["quality_keep"] in (True, False)
+
+
+def test_dedup_clusters_collapse_transitively(spark):
+    """A→B→C near-dup chains must land in ONE cluster (the pairwise
+    candidate list can't express this); unrelated docs stay
+    singletons with their own id."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, base + " extra more"),       # near-dup of 2 (chain)
+        (4, "completely different text about graph partitioning engines at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from linkgraph.pipeline.dedup import dedup_clusters
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    assert got[4] == 4  # singleton keeps its own id
+    assert got[1] == got[2] == got[3]  # chain collapses to one cluster
+    assert got[1] == 1  # hash-min ⇒ min doc_id labels the cluster
