@@ -261,3 +261,32 @@ def sql_dedup_clusters(iters: int = 6) -> str:
 SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN c{iters} c ON d.doc_id = c.vid"""
     )
+
+
+def sql_ann_ivf_cells(n_cells: int = 8) -> str:
+    """IVF cell routing: max-cosine centroid per vector, centroids =
+    the n_cells lowest vec_ids (matches
+    linkgraph.pipeline.similarity.ivf_cells)."""
+    return f"""WITH {_DIMS_CTE},
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+),
+cdims AS MATERIALIZED (
+  SELECT c.cell, d.dim, d.x FROM dims d JOIN cents c ON d.vec_id = c.cell
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, c.cell AS cell, sum(a.x * c.x) AS dot
+  FROM dims a JOIN cdims c ON a.dim = c.dim
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.vec_id, t.cell, round(t.dot / (na.nrm * nc.nrm), 4) AS cosine
+  FROM dots t
+  JOIN norms na ON t.vec_id = na.vec_id
+  JOIN norms nc ON t.cell = nc.vec_id
+)
+SELECT vec_id, cell, cosine FROM (
+  SELECT vec_id, cell, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell ASC) AS rn
+  FROM scored
+) WHERE rn = 1"""

@@ -70,3 +70,9 @@ def q_media_stats(spark, sf_dir):
 
 def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+def q_ann_ivf_cells(spark, sf_dir):
+    from linkgraph.pipeline import similarity
+
+    return similarity.ivf_cells(_emb(spark, sf_dir))

@@ -165,3 +165,94 @@ def ann_lsh_candidates(
             F.col("x.bucket").alias("bucket"),
         )
     )
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse quantizer: route every vector to its max-cosine
+    centroid → DataFrame[vec_id, cell, cosine] (ties at 4dp → lowest
+    cell id). Centroids are the ``n_cells`` lowest-``vec_id`` vectors —
+    a deterministic seed set (production systems k-means these; the
+    cell-routing plumbing, which is what the scale path exercises, is
+    identical, and the driver gate needs cross-engine determinism).
+    The centroid table is broadcast (tiny by construction); routing is
+    one broadcast crossJoin + a C-row-per-vector argmax window — no
+    all-pairs anywhere. At search time only the probed cells'
+    inverted lists are scanned (``ann_ivf_search``)."""
+    cents = embeddings.orderBy("vec_id").limit(n_cells)
+    c = cents.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cell",
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (_norm(F.col("embedding")) * _norm(F.col("ce"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "cosine")
+    )
+
+
+def ann_ivf_search(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k search: each query scans only its ``n_probe``
+    best cells' inverted lists (brute-force cosine within them) —
+    the candidate set is |probed cells| / |cells| of the corpus
+    instead of all of it. Same output shape + determinism contract as
+    ``knn_bruteforce`` (rounded cos desc, neighbor asc); recall vs the
+    exact baseline is pinned on clustered data in
+    tests/test_pipeline.py."""
+    cents = embeddings.orderBy("vec_id").limit(n_cells)
+    c = cents.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cell",
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (_norm(F.col("embedding")) * _norm(F.col("ce"))),
+            4,
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked.where((F.col("rn") <= n_probe) & (F.col("vec_id") < n_queries))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    # inverted-list scan: query ⋈ probed cells ⋈ members of those cells
+    members = assign.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    ).select("cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"))
+    qv = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea")
+    )
+    cand = (
+        probes.join(members, "cell")
+        .join(qv, "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored_c = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+            4,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored_c.withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -203,3 +203,51 @@ def test_dedup_clusters_collapse_transitively(spark):
     assert got[4] == 4  # singleton keeps its own id
     assert got[1] == got[2] == got[3]  # chain collapses to one cluster
     assert got[1] == 1  # hash-min ⇒ min doc_id labels the cluster
+
+
+def test_ann_ivf_recall_on_clustered_vectors(spark):
+    """IVF with planted clusters: vectors around C well-separated
+    prototypes (prototypes placed at the lowest vec_ids so they become
+    the centroids). Same-cluster vectors must route to the same cell,
+    and 1-probe IVF search must recover the exact brute-force top-k
+    with high recall (the point of IVF: scan 1/C of the corpus)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    C, per, d = 4, 30, 16
+    protos = rng.normal(size=(C, d))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    rows = []
+    # prototypes first → vec_id 0..C-1 → they are the IVF centroids
+    for c in range(C):
+        rows.append((c, [float(x) for x in protos[c]], c))
+    vid = C
+    truth = {}
+    for c in range(C):
+        for _ in range(per):
+            v = protos[c] + 0.15 * rng.normal(size=d)
+            rows.append((vid, [float(x) for x in v], c))
+            truth[vid] = c
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    cells = {
+        r["vec_id"]: r["cell"] for r in similarity.ivf_cells(emb, n_cells=C).collect()
+    }
+    # cluster purity: members of one planted cluster share a cell
+    for c in range(C):
+        members = [v for v, cc in truth.items() if cc == c]
+        assert len({cells[v] for v in members}) == 1
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_search(
+            emb, n_cells=C, n_queries=10, k=5, n_probe=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
