@@ -265,3 +265,19 @@ def sql_events_graph_components(iters: int = 6) -> str:
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, component FROM l{iters}"
+
+
+def sql_vertex_masters() -> str:
+    """Vertex-master election over the hash assignment: the partition
+    holding most of each vertex's edges (ties → lowest id)."""
+    return f"""WITH {EDGES_CTE},
+pa AS MATERIALIZED (SELECT src, dst, {_ASSIGN['hash']} AS partition FROM e),
+ends AS (
+  SELECT src AS vid, partition FROM pa UNION ALL SELECT dst, partition FROM pa
+),
+per AS (SELECT vid, partition, count(*) AS c FROM ends GROUP BY 1, 2)
+SELECT vid, partition AS master FROM (
+  SELECT vid, partition,
+         row_number() OVER (PARTITION BY vid ORDER BY c DESC, partition ASC) AS rn
+  FROM per
+) WHERE rn = 1"""

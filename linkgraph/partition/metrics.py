@@ -120,3 +120,31 @@ def assert_complete(edges: DataFrame, edges_partitioned: DataFrame, k: int) -> N
         .count()
     )
     assert dup == 0, f"{dup} edges assigned more than once"
+
+
+def vertex_masters(assigned: DataFrame) -> DataFrame:
+    """One home partition per vertex — the ``vertex_master(vid,
+    partition)`` table the S9 sink plan materializes (the reference's
+    ``save_vertex`` writer, bodies commented out at
+    partitioner.cpp:24-29; its NW/NWG forks re-derive the same thing in
+    their post-pass master election, offstreamNW.cpp:~200+). In a
+    vertex-cut system the master partition holds the vertex's state
+    (rank, label); mirrors receive copies — so the master is the
+    partition holding MOST of the vertex's edges (ties → lowest id),
+    minimizing state-to-mirror traffic.
+
+    Scale shape: one grouped count (map-side combined) + an argmax
+    window bounded by the vertex's MIRROR count (≤ RF rows, single
+    digits for good partitioners), never its degree."""
+    from pyspark.sql import Window
+
+    ends = assigned.select(F.col("src").alias("vid"), "partition").unionAll(
+        assigned.select(F.col("dst").alias("vid"), "partition")
+    )
+    per = ends.groupBy("vid", "partition").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("vid").orderBy(F.desc("c"), F.asc("partition"))
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vid", F.col("partition").alias("master"))
+    )

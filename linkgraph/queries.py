@@ -289,6 +289,15 @@ def q_vertex_cut_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "max_vertex", "load_balance")
 
 
+def q_vertex_masters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-master table over the hash assignment (S9 sink plan:
+    the reference's commented-out save_vertex writer re-expressed as a
+    real table — see linkgraph.partition.metrics.vertex_masters)."""
+    from linkgraph.partition.metrics import vertex_masters
+
+    return vertex_masters(hash_edges(edges_from_lineitem(spark, sf_dir), K_HASH))
+
+
 def q_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-interaction edge graph from the events table (second graph
     source — see linkgraph.graph.edges_from_events)."""

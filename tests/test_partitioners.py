@@ -144,3 +144,35 @@ def test_split_high_degree_salts_only_hubs(spark, edges_df):
     cold_salts = {r["dst_salt"] for r in rows if r["dst"] != 100}
     assert cold_salts == {0}, "non-hub destinations must not be salted"
     assert len(hub_salts) > 1, "hub destination must spread over salts"
+
+
+def test_vertex_masters_complete_and_mirror_bound(spark, edges_df):
+    """Every vertex gets exactly ONE master, the master is one of its
+    mirror partitions, and the master holds ≥ its share of the
+    vertex's edges (it is the argmax by construction)."""
+    from linkgraph.partition.metrics import vertex_masters
+    from linkgraph.partition.strategies import hash_edges
+    from linkgraph.synth import graph_edges
+
+    e = edges_df(graph_edges("powerlaw_ba", n=200, m=2, seed=5))
+    assigned = hash_edges(e, 8, "xxhash64").cache()
+    m = vertex_masters(assigned)
+    rows = m.collect()
+    vids = [r["vid"] for r in rows]
+    assert len(vids) == len(set(vids))  # one master per vertex
+    mirrors = {}
+    for r in (
+        assigned.select(F.col("src").alias("vid"), "partition")
+        .unionAll(assigned.select(F.col("dst").alias("vid"), "partition"))
+        .collect()
+    ):
+        mirrors.setdefault(r["vid"], {}).setdefault(r["partition"], 0)
+        mirrors[r["vid"]][r["partition"]] += 1
+    assert set(vids) == set(mirrors)
+    for r in rows:
+        per = mirrors[r["vid"]]
+        assert r["master"] in per
+        best = max(per.values())
+        # argmax with lowest-id tie-break
+        assert per[r["master"]] == best
+        assert r["master"] == min(p for p, c in per.items() if c == best)
