@@ -411,7 +411,12 @@ def _ne_assignment(sf_dir: str, k: int, rounds: int = 15, seed: int = 985):
     import numpy as np
 
     from linkgraph.oracle.xxh64 import pmod_xxhash64
-    from linkgraph.partition.ne import BALANCE_SLACK
+    from linkgraph.partition.ne import (
+        BALANCE_SLACK,
+        HOOD_EXPAND_DEG_MULT,
+        HOOD_EXPAND_MIN_CAP,
+        HOOD_MAX,
+    )
 
     edges = list(_edges(sf_dir))
     adj: dict[int, list[int]] = {}
@@ -423,14 +428,19 @@ def _ne_assignment(sf_dir: str, k: int, rounds: int = 15, seed: int = 985):
         deg[v] = deg.get(v, 0) + 1
     n = len(deg)
     cap = int(np.ceil(BALANCE_SLACK * n / k))
+    two_m = sum(deg.values())
+    d_cap = max(HOOD_EXPAND_MIN_CAP, int(np.ceil(HOOD_EXPAND_DEG_MULT * two_m / n)))
 
     pool = sorted(deg, key=lambda v: (deg[v], v))[: max(16 * k, 64)]
     hood_of = {}
     for pv in pool:
+        # mirrors ne._seed_hoods: hop-2 only through degree ≤ d_cap
+        # neighbors; hood truncated to its HOOD_MAX lowest vids
         h = set(adj[pv])
         for x in list(h):
-            h |= set(adj[x])
-        hood_of[pv] = h
+            if deg[x] <= d_cap:
+                h |= set(adj[x])
+        hood_of[pv] = set(sorted(h)[:HOOD_MAX])
     picked: list[int] = []
     covered: set[int] = set()
     for v in pool:

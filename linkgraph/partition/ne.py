@@ -45,6 +45,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BALANCE_SLACK = 1.05  # cluster-size cap slack, mirroring base_graph.hpp:22
+# Seed-hood bounds (see _seed_hoods): neighbors with degree above
+# max(HOOD_EXPAND_MIN_CAP, HOOD_EXPAND_DEG_MULT·avg_degree) stay in the
+# 1-hop hood but are NOT expanded to their own neighbors, and each hood
+# is deterministically truncated to its HOOD_MAX lowest vids — so driver
+# bytes are bounded by |pool|·HOOD_MAX regardless of hub adjacency.
+HOOD_EXPAND_MIN_CAP = 16
+HOOD_EXPAND_DEG_MULT = 4
+HOOD_MAX = 4096
+
+
+def _seed_hoods(
+    sym: DataFrame,
+    deg: DataFrame,
+    pool: DataFrame,
+    d_cap: int,
+    hood_max: int = HOOD_MAX,
+) -> dict[int, set[int]]:
+    """Bounded 2-hop neighborhoods of the seed-candidate pool.
+
+    The naive 2-hop join materializes each pool vertex's
+    neighbors-of-neighbors; on a power-law graph a degree-1 pool vertex
+    attached to a hub would drag the hub's entire adjacency into one
+    ``collect_set`` — unbounded driver bytes. Two bounds make it safe at
+    any scale, both deterministic (the replay oracle mirrors them,
+    linkgraph/oracle/literal.py::_ne_assignment):
+
+    * hop-2 expands only through neighbors with degree ≤ ``d_cap``. A
+      hub neighbor stays in the hood itself (two candidates sharing a
+      hub are already distance-2 via the hop-1 overlap), but its
+      adjacency is not treated as automatic coverage — cheaper AND
+      semantically better: expanding through a hub would conflate every
+      community the hub touches into one coverage blob.
+    * each hood is truncated to its ``hood_max`` lowest vids
+      (``slice(sort_array(...))`` — deterministic, unlike a bare
+      ``collect_set`` prefix), so the collect is ≤ |pool|·hood_max rows
+      no matter what the graph looks like.
+    """
+    pv = pool.select(F.col("vid").alias("pv"))
+    h1 = sym.join(pv, sym["src"] == pv["pv"]).select("pv", F.col("dst").alias("n"))
+    expandable = deg.where(F.col("degree") <= d_cap).select(F.col("vid").alias("n"))
+    h2 = (
+        h1.join(expandable, "n")
+        .join(sym, F.col("n") == sym["src"])
+        .select("pv", F.col("dst").alias("n"))
+    )
+    return {
+        r["pv"]: set(r["hood"])
+        for r in h1.unionAll(h2)
+        .groupBy("pv")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("n")), 1, hood_max
+            ).alias("hood")
+        )
+        .collect()
+    }
 
 
 def ne_coarse(
@@ -93,8 +149,8 @@ def ne_coarse(
     sym = symmetrize(edges).cache()
     deg = degrees(edges).cache()
     n = deg.count()
+    two_m = deg.agg(F.sum("degree")).first()[0]
     if balance == "degree":
-        two_m = deg.agg(F.sum("degree")).first()[0]
         cap = int(np.ceil(BALANCE_SLACK * two_m / k))
     else:
         cap = int(np.ceil(BALANCE_SLACK * n / k))
@@ -110,20 +166,13 @@ def ne_coarse(
     # planted fixture).
     pool_n = max(16 * k, 64)
     pool = deg.orderBy(F.asc("degree"), F.asc("vid")).limit(pool_n)
-    # 2-hop neighborhoods of the pool (pool is low-degree, so this is
-    # |pool|·d² rows, not a full 2-hop materialization): direct
-    # distance-2 separation is too weak — two low-degree vertices in
-    # the same sparse community often share no direct neighbor
-    pv = pool.select(F.col("vid").alias("pv"))
-    h1 = sym.join(pv, sym["src"] == pv["pv"]).select("pv", F.col("dst").alias("n"))
-    h2 = h1.join(sym, h1["n"] == sym["src"]).select("pv", F.col("dst").alias("n"))
-    pool_hood = {
-        r["pv"]: set(r["hood"])
-        for r in h1.unionAll(h2)
-        .groupBy("pv")
-        .agg(F.collect_set("n").alias("hood"))
-        .collect()
-    }
+    # 2-hop neighborhoods of the pool: direct distance-2 separation is
+    # too weak — two low-degree vertices in the same sparse community
+    # often share no direct neighbor. Bounded per _seed_hoods (hop-2
+    # degree cap + deterministic hood truncation) so a leaf-attached
+    # hub cannot drag its adjacency to the driver.
+    d_cap = max(HOOD_EXPAND_MIN_CAP, int(np.ceil(HOOD_EXPAND_DEG_MULT * two_m / n)))
+    pool_hood = _seed_hoods(sym, deg, pool, d_cap)
     picked: list[int] = []
     covered: set[int] = set()
     for r in pool.collect():  # already in (degree, vid) order
@@ -246,24 +295,24 @@ def ne_coarse(
         for c in headroom:
             this = (F.col("cluster") == c) & (F.col("cnt") >= thr.get(c, 0))
             pre = this if pre is None else (pre | this)
-        picked = (
+        admitted = (
             best.where(pre)
             .withColumn("_fill", fill)
             .where(cond)
         )
         if balance == "degree":
-            agg = picked.groupBy("cluster").agg(
+            agg = admitted.groupBy("cluster").agg(
                 F.count("*").alias("nv"), F.sum("degree").alias("w")
             ).collect()
         else:
-            agg = picked.groupBy("cluster").agg(
+            agg = admitted.groupBy("cluster").agg(
                 F.count("*").alias("nv"), F.count("*").alias("w")
             ).collect()
         new_counts = {r["cluster"]: (r["nv"], r["w"]) for r in agg}
         if not new_counts:
             best.unpersist()
             break
-        labels = roll(labels.unionByName(picked.select("vid", "cluster")))
+        labels = roll(labels.unionByName(admitted.select("vid", "cluster")))
         best.unpersist()
         for c, (nv, w) in new_counts.items():
             sizes[c] += w
