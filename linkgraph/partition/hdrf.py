@@ -67,6 +67,11 @@ DEFAULT_CHUNK_TASKS = 32
 # exists for state quality, not final RF, so it tolerates coarser
 # chunking better than a pure chunked run does.
 OFFSTREAM_OFFLINE_CHUNKS = 4
+# Default chunk count for the chunked-streaming scale path (the mode
+# production runs; measured C sweep in ``hdrf_spark``'s docstring).
+# Named so the replay oracle (linkgraph/oracle/literal.py) gates the
+# SAME configuration the engine defaults to.
+DEFAULT_NUM_CHUNKS = 12
 
 
 def stream_ord_expr(src: str = "src", dst: str = "dst", seed: int = STREAM_SEED):
@@ -212,7 +217,7 @@ def hdrf_spark(
     lamb: float = LAMBDA,
     balance_ratio: float = BALANCE_RATIO,
     exact: bool = True,
-    num_chunks: int = 12,
+    num_chunks: int = DEFAULT_NUM_CHUNKS,
     mode: str = "hdrf",
     route: str = "edge",
     chunking: str = "uniform",

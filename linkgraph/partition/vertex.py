@@ -49,6 +49,10 @@ GAMMA = 1.5
 FENNEL_SLACK = 1.1
 LDG_EPS = 1e-6
 DEFAULT_SEED = 985  # reference DEFAULT_SEED, base_graph.hpp:48
+# Default chunk count for the chunked-streaming scale path — named so
+# the replay oracle (linkgraph/oracle/literal.py) gates the SAME
+# configuration the engine defaults to.
+DEFAULT_VERTEX_CHUNKS = 8
 
 
 def _assign_stream(
@@ -162,7 +166,7 @@ def vertex_partition_chunked(
     edges: DataFrame,
     k: int,
     mode: str = "ldg",
-    num_chunks: int = 8,
+    num_chunks: int = DEFAULT_VERTEX_CHUNKS,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
     """Chunked-streaming LDG/Fennel (the scale path) — the vertex-

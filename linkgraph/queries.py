@@ -208,6 +208,31 @@ def q_partition_fennel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vertex_partition_spark(edges_from_lineitem(spark, sf_dir), K_HASH, mode="fennel")
 
 
+def q_partition_hdrf_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDRF chunked-streaming mode at the engine default C
+    (DEFAULT_NUM_CHUNKS) — the SCALE path production runs (the exact
+    mode above is a single sequential group). Hash-checked against the
+    same pure-Python chunked replay that pins the offstream oracles,
+    run at the default configuration — closing the "gate tests exact,
+    production runs chunked" gap."""
+    from linkgraph.partition.hdrf import hdrf_spark
+
+    return hdrf_spark(edges_from_lineitem(spark, sf_dir), K_HASH, exact=False)
+
+
+def q_partition_ldg_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDG chunked-streaming mode (vertex_partition_chunked defaults)
+    — the vertex-partitioning scale path, driver-gated against a
+    pure-Python replay of the chunk/task/order keys + the same scorer
+    the Spark task groups execute (numerics independently anchored by
+    the hand-computed LDG trace in tests/test_vertex_partition.py)."""
+    from linkgraph.partition.vertex import vertex_partition_chunked
+
+    return vertex_partition_chunked(
+        edges_from_lineitem(spark, sf_dir), K_HASH, mode="ldg"
+    )
+
+
 def q_partition_ne_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NE-coarse (distributed neighbor expansion — the reference's
     flagship ne.cpp:90-198, coarsened to synchronous capacity-bounded
@@ -232,6 +257,20 @@ def q_partition_offstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.partition.hdrf import offstream_spark
 
     return offstream_spark(edges_from_lineitem(spark, sf_dir), K_HASH)
+
+
+def q_partition_offstream_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offstream with the NE-coarse offline phase — the reference's
+    actual offstreamNW pairing (offstreamNW.cpp: NE partitions the
+    offline prefix, the HDRF scorer streams the suffix against the
+    frozen state). Hash-checked against a composed replay: the NE
+    replay over the prefix edges + the chunked replay's single-pass
+    suffix seeded from the prefix assignment."""
+    from linkgraph.partition.hdrf import offstream_spark
+
+    return offstream_spark(
+        edges_from_lineitem(spark, sf_dir), K_HASH, offline="ne_coarse"
+    )
 
 
 def q_partition_offstream_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,3 +155,43 @@ def test_offstream_defer_literal_matches_spark(spark):
     oracle = _duck(literal.sql_partition_offstream_defer(SF))
     want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
     assert got == want
+
+def test_hdrf_chunked_literal_matches_spark(spark):
+    """The chunked SCALE path at its default C — the configuration
+    production runs — gets the same bit-exact gate the exact mode has
+    (VERDICT r3 'missing' #1)."""
+    from linkgraph.queries import q_partition_hdrf_chunked
+
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in q_partition_hdrf_chunked(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_hdrf_chunked(SF))
+    want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
+
+
+def test_ldg_chunked_literal_matches_spark(spark):
+    from linkgraph.queries import q_partition_ldg_chunked
+
+    got = {
+        r["vid"]: r["partition"]
+        for r in q_partition_ldg_chunked(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_ldg_chunked(SF))
+    want = {int(r.vid): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
+
+
+def test_offstream_ne_literal_matches_spark(spark):
+    """offstream(offline='ne_coarse') — the reference's offstreamNW
+    pairing — against the composed NE-prefix + streamed-suffix replay."""
+    from linkgraph.queries import q_partition_offstream_ne
+
+    got = {
+        (r["src"], r["dst"]): r["partition"]
+        for r in q_partition_offstream_ne(spark, SF).collect()
+    }
+    oracle = _duck(literal.sql_partition_offstream_ne(SF))
+    want = {(int(r.src), int(r.dst)): int(r.partition) for r in oracle.itertuples()}
+    assert got == want
