@@ -174,14 +174,21 @@ def run_suite(master: str | None = None) -> dict:
         from linkgraph.csr import pagerank_csr, prepare_bucketed_edges
 
         def best_of(name: str, fn, n: int = 2):
+            """Record min-of-n timing; returns the output of the
+            FASTEST run (outputs here are deterministic, but keep the
+            contract honest for non-deterministic callers)."""
             runs = []
+            best = None
             for _ in range(n):
                 t0 = time.time()
                 out = fn()
-                runs.append(round(time.time() - t0, 3))
+                dt = round(time.time() - t0, 3)
+                runs.append(dt)
+                if best is None or dt < best[0]:
+                    best = (dt, out)
             queries[name] = min(runs)
             extras.setdefault("runs", {})[name] = runs
-            return out
+            return best[1]
 
         best_of(
             "connected_components",

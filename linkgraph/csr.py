@@ -184,6 +184,7 @@ def pagerank_csr_blocks(
 
     spark = edges.sparkSession
     blocks = spark.table(blocks_table)
+    _check_blob_k(blocks, k, blocks_table)
 
     def unpack(b: bytes) -> np.ndarray:
         return np.frombuffer(b, dtype="<i8")
@@ -249,6 +250,16 @@ def pagerank_csr_blocks(
                  "max_partition_skew": 0.0, "wall_ms": 0.0},
             )
         else:
+            if latest > iterations:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {ckpt.run_id} already holds superstep "
+                    f"{latest} > requested iterations {iterations}; "
+                    "returning the later state (pass resume=False or a "
+                    "fresh run_id to recompute)",
+                    stacklevel=2,
+                )
             ranks = ckpt.read(latest)
             start = latest
     else:
@@ -268,15 +279,28 @@ def pagerank_csr_blocks(
             new_ranks = ckpt.write(
                 i + 1, new_ranks,
                 {"edges_scanned": m2, "messages_sent": m2,
-                 "max_partition_skew": 0.0,
                  "wall_ms": round((time.time() - t0) * 1000, 1)},
-            )
+            )  # max_partition_skew folded into the snapshot write
         elif (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_ranks = roll(new_ranks)
         ranks = new_ranks
         if superstep_times is not None:
             superstep_times.append(time.time() - t0)
     return ranks.select("vid", "rank")
+
+
+def _check_blob_k(blocks: DataFrame, k: int, blocks_table: str) -> None:
+    """The blobs table is built for a fixed partitioning; a caller's
+    ``k`` that disagrees would silently run with the table's actual
+    partition count (ADVICE r3) — fail loudly instead. The table holds
+    one row per partition, so this is a ≤ k-row aggregate."""
+    actual = blocks.select(F.countDistinct("partition")).first()[0]
+    if actual != k:
+        raise ValueError(
+            f"blobs table {blocks_table!r} holds {actual} partitions but "
+            f"k={k} was requested; rebuild with prepare_csr_blocks(..., k={k}) "
+            "or pass the table's k"
+        )
 
 
 def _blob_routes(blocks: DataFrame) -> DataFrame:
@@ -318,6 +342,7 @@ def cc_csr_blocks(
 
     spark = edges.sparkSession
     blocks = spark.table(blocks_table)
+    _check_blob_k(blocks, k, blocks_table)
     routes = _blob_routes(blocks).cache()
     routes.count()
 
@@ -397,6 +422,7 @@ def lpa_csr_blocks(
 
     spark = edges.sparkSession
     blocks = spark.table(blocks_table)
+    _check_blob_k(blocks, k, blocks_table)
     routes = _blob_routes(blocks).cache()
     routes.count()
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import time
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,9 +61,18 @@ class CheckpointManager:
         """Persist state + counters; returns the read-back state (fresh
         lineage). Data lives under ``data/`` so the counter record never
         shadows a parquet footer; the counters file is written last and
-        acts as the snapshot commit marker."""
+        acts as the snapshot commit marker.
+
+        ``max_partition_skew`` is filled in from the snapshot just
+        written (parquet footer row counts — one file per task
+        partition) unless the caller provides it, so recording the skew
+        counter costs zero extra Spark actions (it used to be a second
+        full scan of the new state every superstep)."""
         d = self._dir(superstep)
         state.write.mode("overwrite").parquet(str(d / "data"))
+        counters = dict(counters)
+        if "max_partition_skew" not in counters:
+            counters["max_partition_skew"] = round(_file_skew(d / "data"), 4)
         (d / "counters.json").write_text(
             json.dumps({"run_id": self.run_id, "superstep": superstep, **counters})
         )
@@ -78,17 +88,36 @@ class CheckpointManager:
         return sorted(out, key=lambda c: c["superstep"])
 
 
-def _partition_skew(df: DataFrame) -> float:
-    """max/avg rows per Spark partition of ``df`` — the max-partition-
-    skew lineage counter."""
-    sizes = (
-        df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    )
-    if not sizes:
+def _file_skew(data_dir: Path) -> float:
+    """max/avg rows per written snapshot file — the max-partition-skew
+    lineage counter, read from the parquet footers of the snapshot that
+    was just written (each final-stage task writes one file, so file
+    row counts ARE the partition row counts). Driver-side metadata
+    reads only — no Spark action; the snapshot write itself is the
+    scan."""
+    import pyarrow.parquet as pq
+
+    counts = [
+        pq.ParquetFile(str(f)).metadata.num_rows
+        for f in sorted(data_dir.glob("*.parquet"))
+    ]
+    counts = [c for c in counts if c > 0]
+    if not counts:
         return 0.0
-    counts = [r["count"] for r in sizes]
     avg = sum(counts) / len(counts)
     return max(counts) / avg if avg else 0.0
+
+
+def _warn_if_beyond(ckpt: CheckpointManager, start: int, requested: int) -> None:
+    """A checkpoint dir holding a superstep beyond the requested count
+    would make the loop body a silent no-op — say so (ADVICE r3)."""
+    if start > requested:
+        warnings.warn(
+            f"checkpoint {ckpt.run_id} already holds superstep {start} > "
+            f"requested {requested}; returning the later state (pass "
+            "resume=False or a fresh run_id to recompute)",
+            stacklevel=3,
+        )
 
 
 def pagerank_checkpointed(
@@ -172,6 +201,7 @@ def pagerank_checkpointed(
         )
         start = 0
     else:
+        _warn_if_beyond(ckpt, start, iterations)
         ranks = ckpt.read(start)
 
     for s in range(start + 1, iterations + 1):
@@ -196,14 +226,12 @@ def pagerank_checkpointed(
             new_ranks = msgs.groupBy("vid").agg(
                 (F.lit(teleport) + F.lit(damping) * F.sum("c")).alias("rank")
             )
-        skew = _partition_skew(new_ranks)
         ranks = ckpt.write(
             s, new_ranks,
             {"edges_scanned": m2, "messages_sent": m2,
-             "max_partition_skew": round(skew, 4),
              "wall_ms": round((time.time() - t0) * 1000, 1),
              "msg_skew": round(msg_skew, 4), "salted": salted},
-        )
+        )  # max_partition_skew folded into the snapshot write
     return ranks
 
 
@@ -246,6 +274,7 @@ def cc_checkpointed(
             c.get("converged") for c in ckpt.counters() if c["superstep"] == start
         ):
             return ckpt.read(start)
+        _warn_if_beyond(ckpt, start, max_iterations)
         labels = ckpt.read(start)
         prev_sum = _label_sum(labels)
 
@@ -262,10 +291,9 @@ def cc_checkpointed(
         new_labels = ckpt.write(
             s, new_labels,
             {"edges_scanned": m2, "messages_sent": m2,
-             "max_partition_skew": round(_partition_skew(new_labels), 4),
              "wall_ms": round((time.time() - t0) * 1000, 1),
              "converged": False},
-        )
+        )  # max_partition_skew folded into the snapshot write
         cur_sum = _label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
@@ -306,6 +334,7 @@ def lpa_checkpointed(
         )
         start = 0
     else:
+        _warn_if_beyond(ckpt, start, iterations)
         labels = ckpt.read(start)
 
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
@@ -325,7 +354,6 @@ def lpa_checkpointed(
         labels = ckpt.write(
             s, new_labels,
             {"edges_scanned": m2, "messages_sent": m2,
-             "max_partition_skew": round(_partition_skew(new_labels), 4),
              "wall_ms": round((time.time() - t0) * 1000, 1)},
-        )
+        )  # max_partition_skew folded into the snapshot write
     return labels
