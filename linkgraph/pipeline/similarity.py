@@ -167,19 +167,73 @@ def ann_lsh_candidates(
     )
 
 
-def ivf_cells(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+def _ivf_centroids(
+    embeddings: DataFrame, n_cells: int, refine_iters: int = 0
+) -> DataFrame:
+    """Centroid table (cell, ce) for the IVF quantizer. Seeds are the
+    ``n_cells`` lowest-``vec_id`` vectors (deterministic — the driver
+    gate compares against DuckDB, so the DEFAULT path must be a pure
+    function of the data). ``refine_iters`` Lloyd rounds on top of the
+    seed set, fully distributed: assign = the same broadcast-crossJoin
+    argmax routing the quantizer uses; update = per-(cell, dim) AVG via
+    posexplode (one shuffle keyed by (cell, pos) — C·d rows out,
+    no vector ever collected to the driver); empty cells keep their
+    previous centroid. Fixed iteration count keeps runs reproducible
+    (float-sum ordering can wiggle last bits, so refinement is off in
+    the oracle-gated query and recall-tested instead —
+    tests/test_pipeline.py)."""
+    cents = embeddings.orderBy("vec_id").limit(n_cells)
+    c = cents.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    for _ in range(refine_iters):
+        scored = embeddings.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            "cell",
+            (
+                _dot(F.col("embedding"), F.col("ce"))
+                / (_norm(F.col("embedding")) * _norm(F.col("ce")))
+            ).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        new = (
+            assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv")
+            )
+            .select(
+                "cell",
+                F.transform("pv", lambda s: s["v"].cast("float")).alias("nce"),
+            )
+        )
+        c = (
+            c.join(new, "cell", "left")
+            .select("cell", F.coalesce("nce", "ce").alias("ce"))
+        )
+    return c
+
+
+def ivf_cells(
+    embeddings: DataFrame, n_cells: int = 8, refine_iters: int = 0
+) -> DataFrame:
     """IVF coarse quantizer: route every vector to its max-cosine
     centroid → DataFrame[vec_id, cell, cosine] (ties at 4dp → lowest
     cell id). Centroids are the ``n_cells`` lowest-``vec_id`` vectors —
-    a deterministic seed set (production systems k-means these; the
-    cell-routing plumbing, which is what the scale path exercises, is
-    identical, and the driver gate needs cross-engine determinism).
+    a deterministic seed set — optionally Lloyd-refined for
+    ``refine_iters`` rounds (``_ivf_centroids``; default off so the
+    driver gate stays a pure function of the data).
     The centroid table is broadcast (tiny by construction); routing is
     one broadcast crossJoin + a C-row-per-vector argmax window — no
     all-pairs anywhere. At search time only the probed cells'
     inverted lists are scanned (``ann_ivf_search``)."""
-    cents = embeddings.orderBy("vec_id").limit(n_cells)
-    c = cents.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    c = _ivf_centroids(embeddings, n_cells, refine_iters)
     scored = embeddings.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "cell",
@@ -203,6 +257,7 @@ def ann_ivf_search(
     n_queries: int = 10,
     k: int = 5,
     n_probe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF top-k search: each query scans only its ``n_probe``
     best cells' inverted lists (brute-force cosine within them) —
@@ -210,9 +265,9 @@ def ann_ivf_search(
     instead of all of it. Same output shape + determinism contract as
     ``knn_bruteforce`` (rounded cos desc, neighbor asc); recall vs the
     exact baseline is pinned on clustered data in
-    tests/test_pipeline.py."""
-    cents = embeddings.orderBy("vec_id").limit(n_cells)
-    c = cents.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    tests/test_pipeline.py. ``refine_iters`` Lloyd-refines the
+    centroids first (see ``_ivf_centroids``)."""
+    c = _ivf_centroids(embeddings, n_cells, refine_iters)
     scored = embeddings.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "cell",
