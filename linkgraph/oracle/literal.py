@@ -699,3 +699,10 @@ def sql_partition_offstream_ne(sf_dir: str = ORACLE_SF) -> str:
         sorted((u, v, p) for (u, v), p in a.items()),
         [("src", "BIGINT"), ("dst", "BIGINT"), ("partition", "BIGINT")],
     )
+
+
+def sql_partition_fennel_chunked(sf_dir: str = ORACLE_SF) -> str:
+    return _values_sql(
+        list(_vertex_chunked_assignment(sf_dir, "fennel")),
+        [("vid", "BIGINT"), ("partition", "BIGINT")],
+    )

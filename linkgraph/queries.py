@@ -233,6 +233,17 @@ def q_partition_ldg_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_fennel_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fennel chunked-streaming mode — same machinery and replay
+    oracle as partition_ldg_chunked with the Fennel scorer (numerics
+    anchored by the hand-computed Fennel trace)."""
+    from linkgraph.partition.vertex import vertex_partition_chunked
+
+    return vertex_partition_chunked(
+        edges_from_lineitem(spark, sf_dir), K_HASH, mode="fennel"
+    )
+
+
 def q_partition_ne_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NE-coarse (distributed neighbor expansion — the reference's
     flagship ne.cpp:90-198, coarsened to synchronous capacity-bounded

@@ -171,14 +171,21 @@ def test_hdrf_chunked_literal_matches_spark(spark):
     assert got == want
 
 
-def test_ldg_chunked_literal_matches_spark(spark):
-    from linkgraph.queries import q_partition_ldg_chunked
+@pytest.mark.parametrize("mode", ["ldg", "fennel"])
+def test_vertex_chunked_literal_matches_spark(spark, mode):
+    from linkgraph.queries import (
+        q_partition_fennel_chunked,
+        q_partition_ldg_chunked,
+    )
 
-    got = {
-        r["vid"]: r["partition"]
-        for r in q_partition_ldg_chunked(spark, SF).collect()
-    }
-    oracle = _duck(literal.sql_partition_ldg_chunked(SF))
+    q = q_partition_ldg_chunked if mode == "ldg" else q_partition_fennel_chunked
+    got = {r["vid"]: r["partition"] for r in q(spark, SF).collect()}
+    sql = (
+        literal.sql_partition_ldg_chunked(SF)
+        if mode == "ldg"
+        else literal.sql_partition_fennel_chunked(SF)
+    )
+    oracle = _duck(sql)
     want = {int(r.vid): int(r.partition) for r in oracle.itertuples()}
     assert got == want
 
