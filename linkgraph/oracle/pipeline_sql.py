@@ -290,3 +290,128 @@ SELECT vec_id, cell, cosine FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell ASC) AS rn
   FROM scored
 ) WHERE rn = 1"""
+
+
+# --------------------------------------------- sampling / PII / packing
+
+_H_SALTED = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 8))::BIGINT)"
+
+
+def _rate_case(rates: dict[str, float], mod: int) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(r * mod)}"
+        for lang, r in sorted(rates.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+def sql_stratified_sample() -> str:
+    from linkgraph.pipeline.sampling import DEFAULT_RATES, SAMPLE_MOD
+
+    h = _H_SALTED.format(salt="strat")
+    return f"""SELECT doc_id, lang, source FROM documents
+WHERE ({h} % {SAMPLE_MOD}) < {_rate_case(DEFAULT_RATES, SAMPLE_MOD)}"""
+
+
+def sql_sample_rates() -> str:
+    from linkgraph.pipeline.sampling import DEFAULT_RATES, SAMPLE_MOD
+
+    h = _H_SALTED.format(salt="strat")
+    return f"""WITH kept AS MATERIALIZED (
+  SELECT lang, count(*) AS n_kept FROM documents
+  WHERE ({h} % {SAMPLE_MOD}) < {_rate_case(DEFAULT_RATES, SAMPLE_MOD)}
+  GROUP BY lang
+), tot AS MATERIALIZED (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+)
+SELECT t.lang, CAST(t.n_total AS BIGINT) AS n_total,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / t.n_total, 6) AS realized_rate
+FROM tot t LEFT JOIN kept k ON t.lang = k.lang"""
+
+
+def sql_pii_stats() -> str:
+    from linkgraph.pipeline.text import PII_EMAIL, PII_PHONE, PII_URL
+
+    return f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_URL}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+     + len(regexp_extract_all(text, '{PII_URL}'))
+     + len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS pii_total,
+  (len(regexp_extract_all(text, '{PII_EMAIL}'))
+ + len(regexp_extract_all(text, '{PII_URL}'))
+ + len(regexp_extract_all(text, '{PII_PHONE}'))) = 0 AS clean
+FROM documents"""
+
+
+def sql_contamination() -> str:
+    """Probe 3-grams computed in Python (the probe set is a fixed
+    constant), matched against the same lead-window shingle CTE the
+    dedup oracles use."""
+    from linkgraph.pipeline.text import CONTAMINATION_PROBES
+
+    grams = set()
+    for p in CONTAMINATION_PROBES:
+        t = p.split(" ")
+        for i in range(len(t) - 2):
+            grams.add(" ".join(t[i : i + 3]))
+    vals = ", ".join("('" + g.replace("'", "''") + "')" for g in sorted(grams))
+    return f"""WITH {TOKENS_CTE},
+{SHINGLES_CTE},
+probes(s) AS (VALUES {vals}),
+hits AS MATERIALIZED (
+  SELECT sh.doc_id, count(*) AS n_hits
+  FROM sh JOIN probes ON sh.s = probes.s GROUP BY sh.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
+def sql_pack_sequences(sf_dir: str | None = None) -> str:
+    """Pure-Python replay of ``sampling.pack_sequences`` defaults over
+    the same parquet the driver's views read, emitted as a VALUES
+    literal (the greedy per-group packer is sequential state, like the
+    streaming partitioners — same oracle pattern as
+    linkgraph/oracle/literal.py)."""
+    import hashlib
+
+    import duckdb
+
+    from linkgraph.oracle.literal import ORACLE_SF, _values_sql
+    from linkgraph.pipeline.sampling import PACK_BUDGET, PACK_GROUPS
+
+    sf = ORACLE_SF if sf_dir is None else sf_dir
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM read_parquet('{sf}/documents.parquet')"""
+    ).fetchall()
+    con.close()
+
+    def h(doc_id: int, salt: str) -> int:
+        return int(
+            hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8], 16
+        )
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for doc_id, n in rows:
+        g = h(doc_id, "grp") % PACK_GROUPS
+        groups.setdefault(g, []).append((h(doc_id, "ord"), int(doc_id), int(n)))
+    out = []
+    for g, lst in groups.items():
+        lst.sort()
+        running, b = 0, 0
+        for _, doc_id, n in lst:
+            if running + n > PACK_BUDGET and running > 0:
+                b += 1
+                running = 0
+            out.append((doc_id, g, b, n))
+            running += n
+    return _values_sql(
+        sorted(out),
+        [("doc_id", "BIGINT"), ("grp", "BIGINT"), ("bin", "BIGINT"),
+         ("n_tokens", "BIGINT")],
+    )

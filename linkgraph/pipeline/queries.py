@@ -76,3 +76,29 @@ def q_ann_ivf_cells(spark, sf_dir):
     from linkgraph.pipeline import similarity
 
     return similarity.ivf_cells(_emb(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    from linkgraph.pipeline import sampling
+
+    return sampling.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_sample_rates(spark, sf_dir):
+    from linkgraph.pipeline import sampling
+
+    return sampling.sample_rates_realized(_docs(spark, sf_dir))
+
+
+def q_pii_stats(spark, sf_dir):
+    return text.pii_stats(_docs(spark, sf_dir))
+
+
+def q_contamination(spark, sf_dir):
+    return text.contamination(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    from linkgraph.pipeline import sampling
+
+    return sampling.pack_sequences(_docs(spark, sf_dir))

@@ -1,0 +1,132 @@
+"""Corpus sampling + sequence packing — the mixture-control and
+batch-shaping steps of a training-data pipeline.
+
+- ``stratified_sample``: deterministic per-stratum rate sampling (the
+  data-mixture knob: "keep 50% of en, 20% of zh, ..."). Keep decision
+  is a pure function of (doc_id, salt) via the engine-portable md5
+  hash (identical arithmetic in DuckDB — see
+  linkgraph.pipeline.dedup's hashing note), so the sample is
+  reproducible across engines, runs, AND cluster sizes — no RNG state,
+  no per-partition seeds. Scale shape: narrow map + broadcast rate
+  table; zero shuffles.
+
+- ``pack_sequences``: greedy first-fit packing of documents into
+  fixed token-budget bins (context-window packing). Documents are hash-
+  routed to ``n_groups`` independent packers (deterministic xx-style
+  md5 groups, same trick as the chunked partitioners), each group
+  packs its stream in (hash, doc_id) order with a sequential greedy
+  rule inside one ``applyInPandas`` task. Sequential-per-group like
+  the reference's streaming partitioners, so it driver-gates against a
+  pure-Python replay (linkgraph/oracle/pipeline_sql.py). Scale shape:
+  one shuffle to group, O(group) memory per task, bins never cross
+  groups (n_groups scales with the cluster; packing quality is
+  per-group local, which is exactly how production packers shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_MOD = 1_000_000
+# default mixture: per-lang keep rates (driver-gated configuration)
+DEFAULT_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
+PACK_BUDGET = 256
+PACK_GROUPS = 8
+
+
+def _h(col, salt: str):
+    """Engine-portable hash: int(md5(f"{v}:{salt}")[:8], 16)."""
+    s = F.concat(col.cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each doc iff H(doc_id, salt) mod 1e6 < rate[lang]·1e6 —
+    DataFrame[doc_id, lang, source]. Unlisted strata drop (rate 0)."""
+    rates = DEFAULT_RATES if rates is None else rates
+    thr = F.lit(None).cast("long")
+    expr = None
+    for lang, r in sorted(rates.items()):
+        t = F.lit(int(r * SAMPLE_MOD))
+        expr = F.when(F.col("lang") == lang, t) if expr is None else expr.when(
+            F.col("lang") == lang, t
+        )
+    thr = expr.otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "lang", "source")
+        .where(F.pmod(_h(F.col("doc_id"), salt), F.lit(SAMPLE_MOD)) < thr)
+    )
+
+
+def sample_rates_realized(
+    docs: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Per-stratum total/kept/realized-rate audit table (6dp) — the
+    mixture report a pipeline logs next to the sample."""
+    rates = DEFAULT_RATES if rates is None else rates
+    kept = stratified_sample(docs, rates).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    tot = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        tot.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 6
+            ).alias("realized_rate"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+) -> DataFrame:
+    """Greedy token-budget packing → DataFrame[doc_id, grp, bin,
+    n_tokens]. Within each hash group, docs are processed in
+    (H(doc_id,'ord'), doc_id) order; a doc that would overflow the
+    running bin closes it and starts the next (oversized docs get a
+    bin of their own). Deterministic: group routing, order, and the
+    greedy rule are all pure functions of doc_id and the token count.
+    """
+    import pandas as pd
+
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.pmod(_h(F.col("doc_id"), "grp"), F.lit(n_groups)).alias("grp"),
+        _h(F.col("doc_id"), "ord").alias("_ord"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "doc_id"])
+        bins = []
+        running = 0
+        b = 0
+        for n in pdf["n_tokens"]:
+            if running + n > budget and running > 0:
+                b += 1
+                running = 0
+            bins.append(b)
+            running += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "grp": pdf["grp"].to_numpy(),
+                "bin": bins,
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+            }
+        )
+
+    return sized.groupBy("grp").applyInPandas(
+        pack, schema="doc_id long, grp long, bin long, n_tokens long"
+    )

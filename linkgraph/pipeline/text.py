@@ -108,3 +108,87 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 16).alias("fingerprint16"),
     )
+
+
+# PII regexes — identical semantics under Java regex (Spark) and RE2
+# (DuckDB): plain char classes + bounded quantifiers only, no
+# lookaround, no shorthand classes that differ across dialects.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_URL = "https?://[^ ]+"
+PII_PHONE = "[+][0-9][0-9() -]{7,}[0-9]"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-document PII / leakage counters (emails, URLs, phone-like
+    strings) + a ``clean`` flag — the filter a training pipeline runs
+    before anything else. Pure JVM ``regexp_count`` column expressions
+    (codegen, no Python); scale shape is a narrow map over the corpus.
+    The synthetic driver corpus contains no PII, so the driver gate
+    exercises the zero-match path; the regexes themselves are proven on
+    a planted fixture (tests/test_pipeline.py)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    ).withColumn(
+        "pii_total",
+        (F.col("n_emails") + F.col("n_urls") + F.col("n_phones")).cast("long"),
+    ).withColumn("clean", F.col("pii_total") == 0)
+
+
+# Fixed decontamination probe set (an "eval benchmark" stand-in): the
+# operator flags training documents sharing any word-3-gram with a
+# probe. Shared verbatim with the SQL oracle.
+CONTAMINATION_PROBES = [
+    "the fast key order sort",
+    "batch batch batch stream",
+    "join order batch",
+    "slow small filter customer line",
+]
+
+
+def contamination(docs: DataFrame, probes: list[str] | None = None) -> DataFrame:
+    """Benchmark-decontamination check: for each document, how many
+    DISTINCT probe 3-grams its word-3-gram shingle set contains
+    (``n_hits``) and a ``contaminated`` flag. The probe set is
+    exploded into its own 3-grams, broadcast (eval benchmarks are tiny
+    next to a 100 TB corpus), and joined against the per-doc shingle
+    set — a broadcast semi-join on the shingle string, never a scan of
+    doc×probe pairs. Docs with zero hits are kept via a left join so
+    the output covers the corpus (the decision table a filter step
+    consumes)."""
+    from linkgraph.pipeline.dedup import shingles
+
+    spark = docs.sparkSession
+    probes = CONTAMINATION_PROBES if probes is None else probes
+    pdf = spark.createDataFrame([(p,) for p in probes], "p string")
+    ptoks = pdf.select(F.posexplode(F.split("p", " ")).alias("pos0", "tok"),
+                       F.col("p"))
+    w = Window.partitionBy("p").orderBy("pos0")
+    pgrams = (
+        ptoks.select(
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("s"),
+            F.lead("tok", 2).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("s")
+        .distinct()
+    )
+    hits = (
+        shingles(docs)
+        .join(F.broadcast(pgrams), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

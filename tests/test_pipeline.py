@@ -309,3 +309,83 @@ def test_ivf_kmeans_refine_improves_clustering(spark):
     assert p2 > p0  # strictly better than the noisy seed quantizer
     assert r2 >= r0
     assert r2 >= 0.9  # measured 0.925 vs 0.75 seeded
+
+
+def test_pii_stats_on_planted_fixture(spark):
+    """The PII regexes (zero-match on the synthetic driver corpus) are
+    proven here on planted emails / URLs / phone-like strings."""
+    rows = [
+        (1, "contact alice.smith@example.com or bob@corp.io today"),
+        (2, "see https://example.com/page and http://a.b/c for details"),
+        (3, "call +1 (555) 123-4567 tomorrow"),
+        (4, "perfectly clean text with no personal data at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from linkgraph.pipeline.text import pii_stats
+
+    got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["clean"] is False
+    assert got[2]["n_urls"] == 2 and got[2]["clean"] is False
+    assert got[3]["n_phones"] == 1 and got[3]["clean"] is False
+    assert got[4]["pii_total"] == 0 and got[4]["clean"] is True
+
+
+def test_contamination_flags_probe_overlap(spark):
+    """A doc sharing a probe 3-gram is flagged with the right distinct
+    hit count; clean docs stay 0 via the left join."""
+    from linkgraph.pipeline.text import CONTAMINATION_PROBES, contamination
+
+    probe = CONTAMINATION_PROBES[0]  # "the fast key order sort" -> 3 grams
+    rows = [
+        (1, "prefix words " + probe + " suffix words"),
+        (2, "nothing shared with any benchmark probe here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination(docs).collect()}
+    assert got[1]["contaminated"] is True and got[1]["n_hits"] == 3
+    assert got[2]["contaminated"] is False and got[2]["n_hits"] == 0
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Hash-threshold sampling: reproducible, respects strata, and
+    monotone in the rate (a lower-rate sample is a SUBSET of a
+    higher-rate one under the same salt — the property that lets a
+    pipeline grow a sample without resampling everything)."""
+    from linkgraph.pipeline.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "txt", "en" if i % 2 == 0 else "zh", "s0") for i in range(400)],
+        "doc_id long, text string, lang string, source string",
+    )
+    lo = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.2}).collect()}
+    hi = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.6}).collect()}
+    again = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.2}).collect()}
+    assert lo == again  # deterministic
+    assert lo <= hi  # nested samples
+    assert all(v % 2 == 0 for v in hi)  # zh has no rate -> dropped
+    assert 0.1 < len(lo) / 200 < 0.3 and 0.45 < len(hi) / 200 < 0.75
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one bin; no bin exceeds the budget
+    unless it holds a single oversized doc; bin ids are a contiguous
+    prefix per group; output is deterministic."""
+    from linkgraph.pipeline.sampling import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 37) % 90))) for i in range(120)]
+    rows.append((999, " ".join(["w"] * 400)))  # oversized singleton
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 100
+    out = pack_sequences(docs, budget=budget, n_groups=4).collect()
+    assert len(out) == len(rows)
+    assert len({r["doc_id"] for r in out}) == len(rows)
+    fill: dict[tuple, list] = {}
+    for r in out:
+        fill.setdefault((r["grp"], r["bin"]), []).append(r["n_tokens"])
+    for (g, b), sizes in fill.items():
+        assert sum(sizes) <= budget or len(sizes) == 1
+    for g in {r["grp"] for r in out}:
+        bins = sorted({r["bin"] for r in out if r["grp"] == g})
+        assert bins == list(range(len(bins)))
+    out2 = pack_sequences(docs, budget=budget, n_groups=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
