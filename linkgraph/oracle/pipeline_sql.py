@@ -415,3 +415,19 @@ def sql_pack_sequences(sf_dir: str | None = None) -> str:
         [("doc_id", "BIGINT"), ("grp", "BIGINT"), ("bin", "BIGINT"),
          ("n_tokens", "BIGINT")],
     )
+
+
+def sql_domain_cap(cap: int = 5) -> str:
+    h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8))::BIGINT)"
+    return f"""SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= {cap}"""
+
+
+def sql_vocab_topk(k: int = 50) -> str:
+    return f"""WITH {TOKENS_CTE}
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM tokens GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT {k}"""

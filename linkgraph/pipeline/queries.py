@@ -102,3 +102,13 @@ def q_pack_sequences(spark, sf_dir):
     from linkgraph.pipeline import sampling
 
     return sampling.pack_sequences(_docs(spark, sf_dir))
+
+
+def q_domain_cap(spark, sf_dir):
+    from linkgraph.pipeline import sampling
+
+    return sampling.domain_cap(_docs(spark, sf_dir))
+
+
+def q_vocab_topk(spark, sf_dir):
+    return text.vocab_topk(_docs(spark, sf_dir))

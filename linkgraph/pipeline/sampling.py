@@ -130,3 +130,24 @@ def pack_sequences(
     return sized.groupBy("grp").applyInPandas(
         pack, schema="doc_id long, grp long, bin long, n_tokens long"
     )
+
+
+def domain_cap(docs: DataFrame, cap: int = 5, salt: str = "cap") -> DataFrame:
+    """At most ``cap`` documents per source domain — the anti-
+    overrepresentation step (a crawl's mega-domains would otherwise
+    dominate the mixture). Which docs survive is deterministic: rank
+    within each source by (H(doc_id, salt), doc_id) and keep rank ≤
+    cap — a seeded uniform choice that reproduces across engines and
+    cluster sizes. One shuffle keyed by source; the per-source window
+    sorts only that source's rows (for a pathological mega-domain the
+    same cnt-threshold pre-filter used in ne.py applies — at cap ≪
+    |domain| a TopK per key via groupBy+min_by-style pruning would cut
+    the sort, noted for 100 TB)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(_h(F.col("doc_id"), salt), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= cap)
+    )

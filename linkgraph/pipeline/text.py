@@ -192,3 +192,18 @@ def contamination(docs: DataFrame, probes: list[str] | None = None) -> DataFrame
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency (count desc,
+    token asc — deterministic). The substrate for tokenizer/BPE
+    training and stopword induction. groupBy partial-aggregates
+    map-side, and the top-k is orderBy().limit() — Spark plans
+    TakeOrderedAndProject, never a global sort of the vocabulary."""
+    return (
+        tokens(docs)
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )

@@ -389,3 +389,44 @@ def test_pack_sequences_invariants(spark):
         assert bins == list(range(len(bins)))
     out2 = pack_sequences(docs, budget=budget, n_groups=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_domain_cap_invariants(spark):
+    """≤ cap docs per source, deterministic survivor set, ranks are a
+    contiguous 1..n prefix per source."""
+    from linkgraph.pipeline.sampling import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 3}") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = domain_cap(docs, cap=4).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["rk"])
+    for src, rks in by_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 4
+    assert len(by_src) == 3
+    again = domain_cap(docs, cap=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_vocab_topk_matches_recount(spark):
+    """Top-k vocabulary equals a Python recount with the same
+    (count desc, token asc) order, and the plan is TakeOrdered (no
+    global sort of the vocabulary)."""
+    from collections import Counter
+
+    from linkgraph.pipeline.text import vocab_topk
+
+    rows = [(i, "a b c a b a " + ("x " * (i % 3)).strip()) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = vocab_topk(docs, k=3)
+    got = [(r["tok"], r["n"]) for r in df.collect()]
+    cnt = Counter()
+    for _, t in rows:
+        cnt.update(t.split(" "))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == [(t, int(n)) for t, n in want]
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
