@@ -192,3 +192,17 @@ def test_pagerank_csr_checkpointed_resumes(spark, edges_df, tmp_path):
     recs = CheckpointManager(spark, base, "crashy").counters()
     assert [c["superstep"] for c in recs] == [0, 1, 2, 3, 4, 5]
     assert all(c["edges_scanned"] > 0 for c in recs[1:])
+
+
+def test_blob_k_mismatch_raises(spark, edges_df):
+    """A caller's k that disagrees with the blobs table's partitioning
+    fails loudly instead of silently running with the table's actual
+    partition count (ADVICE r3)."""
+    import pytest as _pytest
+
+    from linkgraph.csr import cc_csr_blocks, prepare_csr_blocks
+
+    e = edges_df([(i, (i + 1) % 30) for i in range(30)])
+    prepare_csr_blocks(e, k=4, strategy="grid", blocks_table="t_blob_k_chk")
+    with _pytest.raises(ValueError, match="holds 4 partitions but k=8"):
+        cc_csr_blocks(e, 8, "t_blob_k_chk", fixed_iterations=1).collect()

@@ -430,3 +430,21 @@ def test_vocab_topk_matches_recount(spark):
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == [(t, int(n)) for t, n in want]
     assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_prunes_text_column(spark, tmp_path):
+    """The sampler reads only (doc_id, lang, source) — the parquet
+    scan must NOT read the heavy text column (at 100 TB the text bytes
+    ARE the corpus; a sampler that reads them to decide keep/drop is
+    wrong). Asserted on the physical plan's ReadSchema."""
+    from linkgraph.pipeline.sampling import stratified_sample
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "some long text " * 10, "en", "s0") for i in range(50)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(p)
+    df = stratified_sample(spark.read.parquet(p), {"en": 0.5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("text" not in ln for ln in read_schema)
