@@ -162,3 +162,42 @@ def test_pagerank_bucketed_join_no_edge_exchange(spark, edges_df):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_pr_links")
+
+
+def test_pagerank_warm_start_converges_faster(spark, edges_df):
+    """The incremental-edges second half: after new edges arrive,
+    warm-starting from the old graph's converged ranks gets closer to
+    the new fixpoint in K supersteps than a cold uniform start does —
+    and warm-start from the EXACT fixpoint stays at it."""
+    rng = np.random.default_rng(3)
+    base = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, 60, (180, 2)) if a != b}
+    )
+    extra = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, 70, (40, 2)) if a != b}
+        - set(base)
+    )
+    e_old = edges_df(base)
+    e_new = edges_df(base + extra)
+    target = {
+        r["vid"]: r["rank"] for r in pagerank(e_new, iterations=40).collect()
+    }
+    old = pagerank(e_old, iterations=40)
+    warm = {
+        r["vid"]: r["rank"]
+        for r in pagerank(e_new, iterations=5, init_ranks=old).collect()
+    }
+    cold = {
+        r["vid"]: r["rank"] for r in pagerank(e_new, iterations=5).collect()
+    }
+    l1_warm = sum(abs(warm[v] - target[v]) for v in target)
+    l1_cold = sum(abs(cold[v] - target[v]) for v in target)
+    assert l1_warm < l1_cold
+    # warm-starting from the fixpoint itself is a fixpoint step
+    again = {
+        r["vid"]: r["rank"]
+        for r in pagerank(
+            e_new, iterations=1, init_ranks=pagerank(e_new, iterations=40)
+        ).collect()
+    }
+    assert max(abs(again[v] - target[v]) for v in target) < 1e-9
