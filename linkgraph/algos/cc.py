@@ -23,8 +23,19 @@ def connected_components(
     fixed_iterations: int | None = None,
     pointer_jumping: bool | None = None,
     checkpoint_every: int = 1,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``DataFrame[vid: long, component: long]``.
+
+    ``init_labels`` (DataFrame[vid, component]) warm-starts from a
+    previous run's components — the incremental-edges story for CC:
+    new edges only MERGE components, and hash-min converges to the
+    minimum of the INITIAL labels over each (new) component, which for
+    old-component ids is exactly the new component's min vid — the
+    same answer as a cold start, reached in O(diameter of the
+    component-merge graph) rounds instead of O(diameter of the full
+    graph). Vertices absent from ``init_labels`` start at their own
+    vid (tests/test_algos.py pins warm ≡ cold-converged).
 
     ``fixed_iterations`` runs exactly that many synchronous rounds
     without a convergence check (deterministic regardless of
@@ -49,7 +60,20 @@ def connected_components(
 
     roll = RollingCheckpoint()
     sym = symmetrize(edges).cache()
-    labels = vertices(edges).withColumn("component", F.col("vid"))
+    if init_labels is not None:
+        labels = roll(
+            vertices(edges)
+            .join(
+                init_labels.select("vid", F.col("component").alias("_c0")),
+                "vid",
+                "left",
+            )
+            .select(
+                "vid", F.coalesce(F.col("_c0"), F.col("vid")).alias("component")
+            )
+        )
+    else:
+        labels = vertices(edges).withColumn("component", F.col("vid"))
 
     rounds = fixed_iterations if fixed_iterations is not None else max_iterations
     prev_sum = None

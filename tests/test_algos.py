@@ -201,3 +201,29 @@ def test_pagerank_warm_start_converges_faster(spark, edges_df):
         ).collect()
     }
     assert max(abs(again[v] - target[v]) for v in target) < 1e-9
+
+
+def test_cc_warm_start_incremental_edges(spark, edges_df):
+    """Warm-started CC over the grown graph equals a cold converged
+    run (new edges only merge components; min of old-component ids
+    over a new component IS its min vid), and a bridge merge resolves
+    in ONE warm round where the cold run needs the chain diameter."""
+    # two long chains, then a bridge edge merges them
+    a = [(i, i + 1) for i in range(0, 24)]
+    b = [(i, i + 1) for i in range(100, 124)]
+    bridge = [(24, 100)]
+    e_old = edges_df(a + b)
+    e_new = edges_df(a + b + bridge)
+    old = connected_components(e_old, max_iterations=60)
+    warm = {
+        r["vid"]: r["component"]
+        for r in connected_components(
+            e_new, fixed_iterations=1, pointer_jumping=True, init_labels=old
+        ).collect()
+    }
+    cold = {
+        r["vid"]: r["component"]
+        for r in connected_components(e_new, max_iterations=80).collect()
+    }
+    assert warm == cold  # one warm round resolves the merge
+    assert set(warm.values()) == {0}
