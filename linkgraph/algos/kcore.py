@@ -1,0 +1,67 @@
+"""k-core decomposition by iterative degree peeling.
+
+alive_0 = V; alive_{i+1} = {v ∈ alive_i : deg_{alive_i}(v) ≥ k} until
+fixpoint — the classic peel, each round one induced-degree aggregation
+(edges filtered to alive×alive endpoints, groupBy count). The k-core
+is the fixpoint; output = (vid, core_degree) with core_degree the
+vertex's degree inside the final core.
+
+Scale shape per round: two semi-joins of the (cached) symmetric edge
+list against the alive set (shuffles keyed by src/dst) + one
+partial-aggregated count — the same budget as a CC superstep. Rounds
+are bounded by the peel depth (≤ max degree, in practice tiny on
+link graphs). The alive set is rolled through localCheckpoint every
+round because the plan references it twice (src and dst filters) —
+uncheckpointed it would re-execute 2^rounds (SURVEY.md §4).
+
+``fixed_iterations`` runs exactly N peel rounds without a convergence
+check — deterministic regardless of convergence; the driver gate
+compares against an unrolled-CTE DuckDB oracle at the same N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_iterations: int = 50,
+    fixed_iterations: int | None = None,
+) -> DataFrame:
+    """Returns ``DataFrame[vid: long, core_degree: long]`` — the
+    vertices of the k-core with their in-core degrees."""
+    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
+    sym = symmetrize(edges).cache()
+    alive = vertices(edges)
+    rounds = fixed_iterations if fixed_iterations is not None else max_iterations
+    prev_n = None
+    out = None
+    for _ in range(rounds):
+        asrc = alive.select(F.col("vid").alias("src"))
+        adst = alive.select(F.col("vid").alias("dst"))
+        deg = (
+            sym.join(asrc, "src")
+            .join(adst, "dst")
+            .groupBy("src")
+            .agg(F.count("*").cast("long").alias("core_degree"))
+        )
+        out = roll(
+            deg.where(F.col("core_degree") >= k).select(
+                F.col("src").alias("vid"), "core_degree"
+            )
+        )
+        alive = out.select("vid")
+        if fixed_iterations is None:
+            n = out.count()
+            if prev_n == n:
+                break
+            prev_n = n
+    if out is None:  # zero rounds requested
+        return alive.withColumn("core_degree", F.lit(0).cast("long"))
+    return out

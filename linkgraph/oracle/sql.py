@@ -281,3 +281,56 @@ SELECT vid, partition AS master FROM (
          row_number() OVER (PARTITION BY vid ORDER BY c DESC, partition ASC) AS rn
   FROM per
 ) WHERE rn = 1"""
+
+
+def sql_k_core(k: int = 65, iters: int = 8) -> str:
+    """Unrolled degree-peel: a_i = vertices of a_{i-1} with induced
+    degree >= k (matches linkgraph.algos.kcore.k_core at
+    fixed_iterations=iters; converges well inside 8 rounds at both
+    gate scales — measured peel depths 2-6)."""
+    parts = [EDGES_CTE, SYM_CTE, VERTS_CTE,
+             "a0 AS MATERIALIZED (SELECT vid FROM verts)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT s.src AS vid, CAST(count(*) AS BIGINT) AS cd
+  FROM sym s JOIN a{i-1} x ON s.src = x.vid JOIN a{i-1} y ON s.dst = y.vid
+  GROUP BY s.src
+)"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, cd FROM d{i} WHERE cd >= {k})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, cd AS core_degree FROM a{iters}"
+    )
+
+
+def sql_adamic_adar(top: int = 20, cap: int = 10000) -> str:
+    """Wedge enumeration + 1/ln(center degree) sum, existing edges
+    anti-joined, ordered by (rounded score desc, u, w) — matches
+    linkgraph.algos.linkpred.adamic_adar_topk."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {DEG_CTE},
+ctr AS MATERIALIZED (
+  SELECT vid, degree FROM deg WHERE degree >= 2 AND degree <= {cap}
+),
+za AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS u, c.degree AS dz
+  FROM sym s JOIN ctr c ON s.src = c.vid
+),
+wedge AS MATERIALIZED (
+  SELECT a.u AS u, b.u AS w, a.dz AS dz
+  FROM za a JOIN za b ON a.z = b.z AND a.u < b.u
+),
+cand AS MATERIALIZED (
+  SELECT wg.u, wg.w, wg.dz FROM wedge wg
+  LEFT JOIN e ON wg.u = e.src AND wg.w = e.dst
+  WHERE e.src IS NULL
+),
+sc AS (
+  SELECT u, w, round(sum(1.0 / ln(dz)), 6) AS aa_score
+  FROM cand GROUP BY u, w
+)
+SELECT u, w, aa_score FROM sc
+ORDER BY aa_score DESC, u ASC, w ASC LIMIT {top}"""

@@ -432,3 +432,20 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_sessions"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=65, fixed 8 peel rounds — converged at
+    both gate scales; unrolled-CTE DuckDB oracle)."""
+    from linkgraph.algos.kcore import k_core
+
+    return k_core(edges_from_lineitem(spark, sf_dir), k=65, fixed_iterations=8)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: top-20 non-adjacent pairs by
+    common-neighbor score (hub centers degree-capped — the wedge
+    blowup guard)."""
+    from linkgraph.algos.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(edges_from_lineitem(spark, sf_dir), top=20)

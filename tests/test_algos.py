@@ -227,3 +227,65 @@ def test_cc_warm_start_incremental_edges(spark, edges_df):
     }
     assert warm == cold  # one warm round resolves the merge
     assert set(warm.values()) == {0}
+
+
+def test_k_core_clique_with_tail(spark, edges_df):
+    """A 5-clique with a pendant chain: the 3-core is exactly the
+    clique (in-core degree 4 each); the chain peels away by CASCADE
+    (each removal drops the next vertex below k) — the property that
+    distinguishes k-core from a one-shot degree filter."""
+    from linkgraph.algos.kcore import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    got = {
+        r["vid"]: r["core_degree"]
+        for r in k_core(edges_df(clique + chain), k=3).collect()
+    }
+    assert got == {v: 4 for v in range(5)}
+    # one-shot filter would KEEP 10 (degree 2 < 3? no — 10 has degree 2)
+    # cascade check: vertex 4 has degree 5 initially, still in core
+    # with in-core degree 4 after the chain peels
+
+
+def test_k_core_fixed_equals_converged(spark, edges_df):
+    """fixed_iterations beyond the peel depth equals the converged
+    core (the driver-gate configuration's safety property)."""
+    from linkgraph.algos.kcore import k_core
+
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    tail = [(5, 20), (20, 21), (21, 22), (22, 23)]
+    e = edges_df(clique + tail)
+    conv = {(r["vid"], r["core_degree"]) for r in k_core(e, k=4).collect()}
+    fixed = {
+        (r["vid"], r["core_degree"])
+        for r in k_core(e, k=4, fixed_iterations=8).collect()
+    }
+    assert conv == fixed
+
+
+def test_adamic_adar_hand_computed(spark, edges_df):
+    """Path u-z-w plus a second shared neighbor: score(1,3) =
+    1/ln(deg(2)) + 1/ln(deg(4)); adjacent pairs are excluded."""
+    import math
+
+    from linkgraph.algos.linkpred import adamic_adar_topk
+
+    # 1-2, 2-3, 1-4, 4-3, and 2-4 adjacency; candidates include (1,3)
+    e = edges_df([(1, 2), (2, 3), (1, 4), (3, 4), (2, 4)])
+    got = {(r["u"], r["w"]): r["aa_score"] for r in adamic_adar_topk(e, top=10).collect()}
+    # deg: 1->2, 2->3, 3->2, 4->3
+    want_13 = round(1 / math.log(3) + 1 / math.log(3), 6)  # via 2 and 4
+    assert got[(1, 3)] == want_13
+    assert (1, 2) not in got  # existing edge excluded
+    assert (2, 4) not in got  # existing edge excluded
+
+
+def test_adamic_adar_center_cap_excludes_hub(spark, edges_df):
+    """A hub center above max_center_degree contributes no wedges —
+    the 100 TB blowup guard is semantic, not just a speed knob."""
+    from linkgraph.algos.linkpred import adamic_adar_topk
+
+    hub = [(100, i) for i in range(20)]  # hub degree 20
+    got = adamic_adar_topk(edges_df(hub), top=50, max_center_degree=10).collect()
+    assert got == []  # only possible centers run through the hub
