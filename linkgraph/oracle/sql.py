@@ -334,3 +334,17 @@ sc AS (
 )
 SELECT u, w, aa_score FROM sc
 ORDER BY aa_score DESC, u ASC, w ASC LIMIT {top}"""
+
+
+def sql_degree_histogram() -> str:
+    return f"""WITH {EDGES_CTE}, {DEG_CTE}
+SELECT CAST(floor(log2(degree)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1"""
+
+
+def sql_assortativity() -> str:
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {DEG_CTE}
+SELECT round(corr(a.degree, b.degree), 6) AS assortativity,
+       CAST(count(*) AS BIGINT) AS n_darts
+FROM sym s JOIN deg a ON s.src = a.vid JOIN deg b ON s.dst = b.vid"""

@@ -449,3 +449,49 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.linkpred import adamic_adar_topk
 
     return adamic_adar_topk(edges_from_lineitem(spark, sf_dir), top=20)
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution — the power-law shape check run
+    before choosing partitioner/salting parameters. Two aggregates
+    (degree count + bin histogram), no joins."""
+    deg = degrees(edges_from_lineitem(spark, sf_dir))
+    return (
+        deg.select(
+            F.floor(F.log2("degree")).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: Pearson correlation of endpoint degrees
+    over the symmetric dart list (one row). Negative on hub-leaf
+    (disassortative) graphs — the skew early-warning a partitioning
+    pipeline logs. Two degree joins + one corr aggregate."""
+    from linkgraph.graph import symmetrize
+
+    e = edges_from_lineitem(spark, sf_dir)
+    deg = degrees(e)
+    sym = symmetrize(e)
+    ds = deg.select(F.col("vid").alias("src"), F.col("degree").alias("d_src"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("degree").alias("d_dst"))
+    # corr spelled as covar/(sd*sd) with try_divide: Spark's corr
+    # throws DIVIDE_BY_ZERO under ANSI mode on zero-variance degree
+    # sequences (e.g. a clique); DuckDB's corr returns NULL — this
+    # matches the NULL.
+    return (
+        sym.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.covar_samp("d_src", "d_dst"),
+                    F.stddev_samp("d_src") * F.stddev_samp("d_dst"),
+                ),
+                6,
+            ).alias("assortativity"),
+            F.count("*").cast("long").alias("n_darts"),
+        )
+    )

@@ -289,3 +289,36 @@ def test_adamic_adar_center_cap_excludes_hub(spark, edges_df):
     hub = [(100, i) for i in range(20)]  # hub degree 20
     got = adamic_adar_topk(edges_df(hub), top=50, max_center_degree=10).collect()
     assert got == []  # only possible centers run through the hub
+
+
+def test_assortativity_sign_on_star_vs_clique(spark, edges_df):
+    """A star is maximally disassortative (corr = -1: every dart pairs
+    the hub's high degree with a leaf's 1); a clique has zero degree
+    variance (corr undefined -> null)."""
+    from linkgraph.queries import q_assortativity  # noqa: F401  (shape ref)
+    from linkgraph.graph import degrees, symmetrize
+    from pyspark.sql import functions as F
+
+    def assort(e):
+        deg = degrees(e)
+        sym = symmetrize(e)
+        ds = deg.select(F.col("vid").alias("src"), F.col("degree").alias("d_src"))
+        dd = deg.select(F.col("vid").alias("dst"), F.col("degree").alias("d_dst"))
+        return (
+            sym.join(ds, "src").join(dd, "dst")
+            .agg(
+                F.round(
+                    F.try_divide(
+                        F.covar_samp("d_src", "d_dst"),
+                        F.stddev_samp("d_src") * F.stddev_samp("d_dst"),
+                    ),
+                    6,
+                ).alias("a")
+            )
+            .first()["a"]
+        )
+
+    star = edges_df([(0, i) for i in range(1, 8)])
+    assert assort(star) == -1.0
+    clique = edges_df([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert assort(clique) is None  # zero variance
