@@ -431,3 +431,65 @@ def sql_vocab_topk(k: int = 50) -> str:
 SELECT tok, CAST(count(*) AS BIGINT) AS n
 FROM tokens GROUP BY tok
 ORDER BY n DESC, tok ASC LIMIT {k}"""
+
+
+TRIGRAMS_CTE = """tri AS MATERIALIZED (
+  SELECT doc_id, s FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s,
+           lead(tok, 2) OVER w AS last2
+    FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE last2 IS NOT NULL
+)"""
+
+
+def sql_repetition_ratio() -> str:
+    return f"""WITH {TOKENS_CTE},
+{TRIGRAMS_CTE},
+per AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_distinct
+  FROM tri GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+  round(1.0 - coalesce(CAST(p.n_distinct AS DOUBLE) / p.n_grams, 1.0), 6)
+    AS repetition_ratio
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+def sql_unigram_logprob() -> str:
+    return f"""WITH {TOKENS_CTE},
+tot AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM tokens),
+vocab AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tokens GROUP BY tok
+)
+SELECT t.doc_id,
+  round(avg(-ln(v.cnt / (SELECT n FROM tot))), 6) AS mean_nll,
+  CAST(count(*) AS BIGINT) AS n_tokens
+FROM tokens t JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id"""
+
+
+def sql_tfidf_top_terms(k: int = 3) -> str:
+    return f"""WITH {TOKENS_CTE},
+nd AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY doc_id, tok
+),
+dfq AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+sc AS MATERIALIZED (
+  SELECT tf.doc_id, tf.tok AS term,
+         round(tf.tf * ln((SELECT n FROM nd) / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.tok = dfq.tok
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS BIGINT) AS rnk
+  FROM sc
+) WHERE rnk <= {k}"""

@@ -112,3 +112,15 @@ def q_domain_cap(spark, sf_dir):
 
 def q_vocab_topk(spark, sf_dir):
     return text.vocab_topk(_docs(spark, sf_dir))
+
+
+def q_repetition_ratio(spark, sf_dir):
+    return text.repetition_ratio(_docs(spark, sf_dir))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return text.tfidf_top_terms(_docs(spark, sf_dir))

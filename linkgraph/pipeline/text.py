@@ -207,3 +207,88 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(k)
     )
+
+
+def repetition_ratio(docs: DataFrame) -> DataFrame:
+    """Within-document repetition (the Gopher/C4 quality rule family):
+    1 − distinct 3-grams / total 3-grams, rounded 6dp — high values
+    mean boilerplate/looping text. One shingle explode + two counts per
+    doc; docs shorter than one 3-gram get ratio 0.0 via the left join."""
+    from linkgraph.pipeline.dedup import shingles  # noqa: F401 (distinct variant below)
+
+    toks = tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("s"),
+        F.lead("tok", 2).over(w).alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    per = tri.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.countDistinct("s").cast("long").alias("n_distinct"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(
+                    F.try_divide(F.col("n_distinct"), F.col("n_grams")), F.lit(1.0)
+                ),
+                6,
+            ).alias("repetition_ratio"),
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram surprisal score: mean −ln p(token) per document,
+    p from the corpus's own token frequencies (add-nothing MLE — every
+    token is in-vocabulary by construction). The cheap perplexity-ish
+    quality signal: low = stereotyped text, high = rare-token soup.
+    Two aggregates (vocab counts, then per-doc mean over a broadcast-
+    joinable vocab), rounded 6dp."""
+    toks = tokens(docs)
+    total = toks.count()
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    scored = toks.join(vocab, "tok").select(
+        "doc_id",
+        (-F.log(F.col("cnt") / F.lit(float(total)))).alias("nll"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("mean_nll"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf · ln(N/df), rounded 6dp;
+    ties → term asc) — the retrieval/keyword substrate. Term counts
+    and document frequencies are two grouped aggregates; the df table
+    is vocabulary-sized (broadcast-joinable at corpus scale)."""
+    toks = tokens(docs)
+    n_docs = docs.select("doc_id").distinct().count()
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

@@ -448,3 +448,45 @@ def test_stratified_sample_prunes_text_column(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("text" not in ln for ln in read_schema)
+
+
+def test_repetition_ratio_hand_computed(spark):
+    """'a b c' repeated 3x: 7 trigrams, 3 distinct → 1 − 3/7; a doc
+    too short for a trigram gets ratio 0 via the left join."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.repetition_ratio(docs).collect()}
+    assert got[1]["n_grams"] == 7
+    assert got[1]["repetition_ratio"] == round(1 - 3 / 7, 6)
+    assert got[2]["n_grams"] == 0 and got[2]["repetition_ratio"] == 0.0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.unigram_logprob(docs).collect()}
+    # corpus: a=3, b=1, total=4
+    assert got[1]["mean_nll"] == round(-math.log(3 / 4), 6)
+    assert got[2]["mean_nll"] == round((-math.log(3 / 4) - math.log(1 / 4)) / 2, 6)
+    assert got[1]["n_tokens"] == 2
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tfidf"])
+        for r in text.tfidf_top_terms(docs, k=2).collect()
+    }
+    # N=2; df a=1 b=2 c=1 → doc1: a=2·ln2, b=0; doc2: c=ln2, b=0
+    assert got[(1, 1)] == ("a", round(2 * math.log(2), 6))
+    assert got[(1, 2)] == ("b", 0.0)
+    assert got[(2, 1)] == ("c", round(math.log(2), 6))
+    assert got[(2, 2)] == ("b", 0.0)
