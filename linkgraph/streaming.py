@@ -152,3 +152,54 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``linkgraph.pipeline.dedup.dedup_exact``: a document whose
+    normalized-text fingerprint was already seen in ANY earlier
+    micro-batch is dropped; the first arrival survives. Uses Spark's
+    native streaming ``dropDuplicates`` state (one fingerprint per
+    distinct text, partitioned by the dedup key across executors — at
+    corpus scale add a watermark on an event-time column to bound the
+    state to the dedup horizon; the feed here is unbounded-keyed like
+    the sessionizer)."""
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.withColumn("fingerprint", F.md5(norm)).dropDuplicates(
+        ["fingerprint"]
+    )
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "docs_dedup",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the streaming dedup synchronously (test/demo path)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = dedup_stream(reader.load(src_path))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

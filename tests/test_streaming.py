@@ -178,3 +178,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
         .first()
     )
     assert batch["count"] == 3
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup: a duplicate text arriving in a LATER
+    micro-batch is dropped by the streaming state; with doc_id-ordered
+    arrival the survivor set equals the batch dedup_exact keepers
+    (min doc_id per text)."""
+    import shutil
+
+    from linkgraph.pipeline.dedup import dedup_exact
+    from linkgraph.streaming import run_dedup_stream_to_memory
+
+    rows1 = [(1, "alpha beta gamma", "en", "s0", 16),
+             (2, "delta epsilon", "en", "s0", 13)]
+    rows2 = [(3, "alpha beta gamma", "en", "s1", 16),  # dup of 1
+             (4, "zeta eta", "en", "s1", 8)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "docs_2batch")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    try:
+        got = {
+            r["doc_id"]
+            for r in run_dedup_stream_to_memory(
+                spark, f"{src}/f=*", "t_dedup2", max_files_per_trigger=1
+            ).collect()
+        }
+        assert got == {1, 2, 4}  # 3 dropped as a cross-batch dup
+        # batch keeper per text = min doc_id -> same survivor set
+        batch = spark.createDataFrame(rows1 + rows2, schema)
+        keepers = {
+            r["canonical_doc_id"] for r in dedup_exact(batch).collect()
+        }
+        assert got == keepers
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
