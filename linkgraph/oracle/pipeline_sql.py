@@ -396,6 +396,8 @@ def sql_pack_sequences(sf_dir: str | None = None) -> str:
             hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8], 16
         )
 
+    from linkgraph.pipeline.sampling import greedy_bins
+
     groups: dict[int, list[tuple[int, int, int]]] = {}
     for doc_id, n in rows:
         g = h(doc_id, "grp") % PACK_GROUPS
@@ -403,13 +405,9 @@ def sql_pack_sequences(sf_dir: str | None = None) -> str:
     out = []
     for g, lst in groups.items():
         lst.sort()
-        running, b = 0, 0
-        for _, doc_id, n in lst:
-            if running + n > PACK_BUDGET and running > 0:
-                b += 1
-                running = 0
+        bins = greedy_bins([n for _, _, n in lst], PACK_BUDGET)
+        for (_, doc_id, n), b in zip(lst, bins):
             out.append((doc_id, g, b, n))
-            running += n
     return _values_sql(
         sorted(out),
         [("doc_id", "BIGINT"), ("grp", "BIGINT"), ("bin", "BIGINT"),

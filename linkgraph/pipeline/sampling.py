@@ -86,6 +86,23 @@ def sample_rates_realized(
     )
 
 
+def greedy_bins(sizes, budget: int) -> list[int]:
+    """The sequential greedy rule shared by the Spark packer and the
+    replay oracle: walk sizes in order; a doc that would overflow the
+    running bin closes it (oversized docs get a bin of their own).
+    Returns the bin id per position."""
+    bins = []
+    running = 0
+    b = 0
+    for n in sizes:
+        if running + n > budget and running > 0:
+            b += 1
+            running = 0
+        bins.append(b)
+        running += n
+    return bins
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = PACK_BUDGET,
@@ -109,15 +126,7 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_ord", "doc_id"])
-        bins = []
-        running = 0
-        b = 0
-        for n in pdf["n_tokens"]:
-            if running + n > budget and running > 0:
-                b += 1
-                running = 0
-            bins.append(b)
-            running += n
+        bins = greedy_bins(pdf["n_tokens"], budget)
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),

@@ -88,3 +88,53 @@ def test_chunked_and_ne_invariants(spark, edges_df, edges):
     assert_complete(e, p_chunked, k)
     p_ne = ne_coarse(e, k, rounds=8)
     assert_complete(e, p_ne, k)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 300), min_size=0, max_size=200),
+    budget=st.integers(1, 400),
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_greedy_bins_invariants(sizes, budget):
+    """Pure greedy-packer core (shared by the Spark packer and its
+    replay oracle): bin ids are a monotone contiguous sequence, every
+    bin's sum fits the budget unless it is a single oversized doc, and
+    a doc never splits."""
+    from linkgraph.pipeline.sampling import greedy_bins
+
+    bins = greedy_bins(sizes, budget)
+    assert len(bins) == len(sizes)
+    if not bins:
+        return
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    fill: dict[int, list[int]] = {}
+    for n, b in zip(sizes, bins):
+        fill.setdefault(b, []).append(n)
+    for contents in fill.values():
+        assert sum(contents) <= budget or len(contents) == 1
+
+
+@given(edges=edge_lists)
+@SET
+def test_k_core_fixpoint_properties(spark, edges_df, edges):
+    """k-core definition holds on random graphs: every core vertex's
+    recorded core_degree equals its in-core neighbor count and is ≥ k;
+    every EXCLUDED vertex has < k neighbors in the core (maximality —
+    the peel can't have stopped early)."""
+    from linkgraph.algos.kcore import k_core
+
+    k = 3
+    core = {
+        r["vid"]: r["core_degree"]
+        for r in k_core(edges_df(edges), k=k).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for v, cd in core.items():
+        in_core = len(adj[v] & core.keys())
+        assert cd == in_core and cd >= k
+    for v in adj.keys() - core.keys():
+        assert len(adj[v] & core.keys()) < k
