@@ -36,10 +36,15 @@ def k_core(
     from linkgraph.graph import symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
 
+    rounds = fixed_iterations if fixed_iterations is not None else max_iterations
+    if rounds < 1:
+        # zero rounds would return the whole graph labeled core_degree
+        # 0, violating the cd >= k contract (and the unrolled SQL
+        # oracle has no round-0 degree column) — reject instead
+        raise ValueError("k_core needs at least one peel round")
     roll = RollingCheckpoint()
     sym = symmetrize(edges).cache()
     alive = vertices(edges)
-    rounds = fixed_iterations if fixed_iterations is not None else max_iterations
     prev_n = None
     out = None
     for _ in range(rounds):
@@ -62,6 +67,4 @@ def k_core(
             if prev_n == n:
                 break
             prev_n = n
-    if out is None:  # zero rounds requested
-        return alive.withColumn("core_degree", F.lit(0).cast("long"))
     return out

@@ -98,10 +98,16 @@ def pagerank(
     if directed or tol is not None:
         checkpoint_every = 1
     if init_ranks is not None:
-        seeded = verts.join(
-            init_ranks.select("vid", F.col("rank").alias("_r0")), "vid", "left"
-        ).select(
-            "vid", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank")
+        # roll first: the seeded join feeds two actions (the sum and
+        # the normalized select) — uncheckpointed it would execute twice
+        seeded = roll(
+            verts.join(
+                init_ranks.select("vid", F.col("rank").alias("_r0")),
+                "vid",
+                "left",
+            ).select(
+                "vid", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank")
+            )
         )
         total = seeded.agg(F.sum("rank")).first()[0]
         ranks = roll(

@@ -250,16 +250,9 @@ def pagerank_csr_blocks(
                  "max_partition_skew": 0.0, "wall_ms": 0.0},
             )
         else:
-            if latest > iterations:
-                import warnings
+            from linkgraph.pregel import _warn_if_beyond
 
-                warnings.warn(
-                    f"checkpoint {ckpt.run_id} already holds superstep "
-                    f"{latest} > requested iterations {iterations}; "
-                    "returning the later state (pass resume=False or a "
-                    "fresh run_id to recompute)",
-                    stacklevel=2,
-                )
+            _warn_if_beyond(ckpt, latest, iterations)
             ranks = ckpt.read(latest)
             start = latest
     else:
@@ -292,14 +285,16 @@ def pagerank_csr_blocks(
 def _check_blob_k(blocks: DataFrame, k: int, blocks_table: str) -> None:
     """The blobs table is built for a fixed partitioning; a caller's
     ``k`` that disagrees would silently run with the table's actual
-    partition count (ADVICE r3) — fail loudly instead. The table holds
-    one row per partition, so this is a ≤ k-row aggregate."""
-    actual = blocks.select(F.countDistinct("partition")).first()[0]
-    if actual != k:
+    partitioning (ADVICE r3) — fail loudly instead. Empty partitions
+    write no blob row (groupBy-based build), so the robust check is on
+    the MAX partition id: an id ≥ k proves the table was built for a
+    larger k. This is a ≤ k-row aggregate."""
+    mx = blocks.select(F.max("partition")).first()[0]
+    if mx is not None and mx >= k:
         raise ValueError(
-            f"blobs table {blocks_table!r} holds {actual} partitions but "
-            f"k={k} was requested; rebuild with prepare_csr_blocks(..., k={k}) "
-            "or pass the table's k"
+            f"blobs table {blocks_table!r} holds partition id {mx} >= k={k}; "
+            f"it was built for a larger k — rebuild with "
+            f"prepare_csr_blocks(..., k={k}) or pass the table's k"
         )
 
 

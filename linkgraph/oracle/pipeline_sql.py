@@ -416,7 +416,7 @@ def sql_pack_sequences(sf_dir: str | None = None) -> str:
 
 
 def sql_domain_cap(cap: int = 5) -> str:
-    h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8))::BIGINT)"
+    h = _H_SALTED.format(salt="cap")
     return f"""SELECT doc_id, source, rk FROM (
   SELECT doc_id, source,
          CAST(row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS BIGINT) AS rk

@@ -49,14 +49,14 @@ def stratified_sample(
     """Keep each doc iff H(doc_id, salt) mod 1e6 < rate[lang]·1e6 —
     DataFrame[doc_id, lang, source]. Unlisted strata drop (rate 0)."""
     rates = DEFAULT_RATES if rates is None else rates
-    thr = F.lit(None).cast("long")
     expr = None
     for lang, r in sorted(rates.items()):
         t = F.lit(int(r * SAMPLE_MOD))
         expr = F.when(F.col("lang") == lang, t) if expr is None else expr.when(
             F.col("lang") == lang, t
         )
-    thr = expr.otherwise(F.lit(0))
+    # empty mixture: every stratum is unlisted -> rate 0 -> drop all
+    thr = F.lit(0) if expr is None else expr.otherwise(F.lit(0))
     return (
         docs.select("doc_id", "lang", "source")
         .where(F.pmod(_h(F.col("doc_id"), salt), F.lit(SAMPLE_MOD)) < thr)

@@ -182,6 +182,9 @@ def _ivf_centroids(
     (float-sum ordering can wiggle last bits, so refinement is off in
     the oracle-gated query and recall-tested instead —
     tests/test_pipeline.py)."""
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
     cents = embeddings.orderBy("vec_id").limit(n_cells)
     c = cents.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     for _ in range(refine_iters):
@@ -213,7 +216,11 @@ def _ivf_centroids(
                 F.transform("pv", lambda s: s["v"].cast("float")).alias("nce"),
             )
         )
-        c = (
+        # each round references c twice (scoring crossJoin + the
+        # empty-cell fallback join) — roll the tiny C-row table through
+        # localCheckpoint so the plan doesn't double per round
+        # (SURVEY.md §4, same rule as the cc/kcore loops)
+        c = roll(
             c.join(new, "cell", "left")
             .select("cell", F.coalesce("nce", "ce").alias("ce"))
         )

@@ -214,8 +214,6 @@ def repetition_ratio(docs: DataFrame) -> DataFrame:
     1 − distinct 3-grams / total 3-grams, rounded 6dp — high values
     mean boilerplate/looping text. One shingle explode + two counts per
     doc; docs shorter than one 3-gram get ratio 0.0 via the left join."""
-    from linkgraph.pipeline.dedup import shingles  # noqa: F401 (distinct variant below)
-
     toks = tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     tri = toks.select(
@@ -253,7 +251,10 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     quality signal: low = stereotyped text, high = rare-token soup.
     Two aggregates (vocab counts, then per-doc mean over a broadcast-
     joinable vocab), rounded 6dp."""
-    toks = tokens(docs)
+    # cache: the token explode feeds three jobs (total count, vocab
+    # aggregate, per-doc score join) — without it each re-scans and
+    # re-splits the full corpus
+    toks = tokens(docs).cache()
     total = toks.count()
     vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
     scored = toks.join(vocab, "tok").select(
@@ -271,11 +272,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     ties → term asc) — the retrieval/keyword substrate. Term counts
     and document frequencies are two grouped aggregates; the df table
     is vocabulary-sized (broadcast-joinable at corpus scale)."""
-    toks = tokens(docs)
     n_docs = docs.select("doc_id").distinct().count()
-    tf = toks.groupBy("doc_id", "tok").agg(
+    # cache the per-doc term counts: they feed both the df aggregate
+    # and the scoring join
+    tf = tokens(docs).groupBy("doc_id", "tok").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).cache()
     df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     scored = tf.join(df_, "tok").select(
         "doc_id",

@@ -322,3 +322,12 @@ def test_assortativity_sign_on_star_vs_clique(spark, edges_df):
     assert assort(star) == -1.0
     clique = edges_df([(a, b) for a in range(4) for b in range(a + 1, 4)])
     assert assort(clique) is None  # zero variance
+
+
+def test_k_core_rejects_zero_rounds(spark, edges_df):
+    import pytest as _pytest
+
+    from linkgraph.algos.kcore import k_core
+
+    with _pytest.raises(ValueError, match="at least one peel round"):
+        k_core(edges_df([(0, 1)]), k=1, fixed_iterations=0)

@@ -490,3 +490,15 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(1, 2)] == ("b", 0.0)
     assert got[(2, 1)] == ("c", round(math.log(2), 6))
     assert got[(2, 2)] == ("b", 0.0)
+
+
+def test_stratified_sample_empty_rates_drops_all(spark):
+    """rates={} means every stratum is unlisted -> empty result (was
+    an AttributeError before the r4 review fix)."""
+    from linkgraph.pipeline.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert stratified_sample(docs, rates={}).count() == 0
