@@ -348,3 +348,33 @@ def sql_assortativity() -> str:
 SELECT round(corr(a.degree, b.degree), 6) AS assortativity,
        CAST(count(*) AS BIGINT) AS n_darts
 FROM sym s JOIN deg a ON s.src = a.vid JOIN deg b ON s.dst = b.vid"""
+
+
+def sql_random_walks(walk_len: int = 4, seed: int = 985) -> str:
+    """Unrolled walk steps; step hash = md5 portable form, argmin via
+    row_number (ties by dst asc) — matches
+    linkgraph.algos.walks.random_walks exactly."""
+    parts = [EDGES_CTE, SYM_CTE, VERTS_CTE,
+             "f0 AS MATERIALIZED (SELECT vid AS start_vid, vid FROM verts)"]
+    sel = ["SELECT start_vid, CAST(0 AS BIGINT) AS step, vid FROM f0"]
+    for s in range(1, walk_len + 1):
+        h = (
+            "(('0x' || substr(md5(CAST(s.src AS VARCHAR) || ':' || "
+            f"CAST({s} AS VARCHAR) || ':' || CAST(s.dst AS VARCHAR) || "
+            f"':' || CAST({seed} AS VARCHAR)), 1, 8))::BIGINT)"
+        )
+        parts.append(
+            f"""f{s} AS MATERIALIZED (
+  SELECT start_vid, dst AS vid FROM (
+    SELECT f.start_vid, s.dst,
+           row_number() OVER (
+             PARTITION BY f.start_vid ORDER BY {h}, s.dst
+           ) AS rn
+    FROM f{s-1} f JOIN sym s ON f.vid = s.src
+  ) WHERE rn = 1
+)"""
+        )
+        sel.append(
+            f"SELECT start_vid, CAST({s} AS BIGINT) AS step, vid FROM f{s}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)

@@ -495,3 +495,11 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_darts"),
         )
     )
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random-walk sampling (4 steps, one walk per vertex) —
+    deterministic md5 neighbor choice, unrolled-CTE DuckDB oracle."""
+    from linkgraph.algos.walks import random_walks
+
+    return random_walks(edges_from_lineitem(spark, sf_dir), walk_len=4)

@@ -331,3 +331,36 @@ def test_k_core_rejects_zero_rounds(spark, edges_df):
 
     with _pytest.raises(ValueError, match="at least one peel round"):
         k_core(edges_df([(0, 1)]), k=1, fixed_iterations=0)
+
+
+def test_random_walks_deterministic_and_valid(spark, edges_df):
+    """Walks are reproducible, every step follows an actual edge, and
+    each start vertex yields exactly one position per step."""
+    from linkgraph.algos.walks import random_walks
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)]
+    e = edges_df(edges)
+    rows = random_walks(e, walk_len=3).collect()
+    a = {(r["start_vid"], r["step"]): r["vid"] for r in rows}
+    b = {
+        (r["start_vid"], r["step"]): r["vid"]
+        for r in random_walks(e, walk_len=3).collect()
+    }
+    assert a == b  # deterministic
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    n = len(nbrs)
+    assert len(a) == n * 4  # steps 0..3 for every start
+    for (s0, step), v in a.items():
+        if step == 0:
+            assert v == s0
+        else:
+            assert v in nbrs[a[(s0, step - 1)]]  # walks follow edges
+    # a different seed takes at least one different turn
+    c = {
+        (r["start_vid"], r["step"]): r["vid"]
+        for r in random_walks(e, walk_len=3, seed=7).collect()
+    }
+    assert c != a
