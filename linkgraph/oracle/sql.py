@@ -378,3 +378,23 @@ def sql_random_walks(walk_len: int = 4, seed: int = 985) -> str:
             f"SELECT start_vid, CAST({s} AS BIGINT) AS step, vid FROM f{s}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def sql_bfs_distances(sources=(1, 2), iters: int = 8) -> str:
+    """Unrolled multi-source BFS (integer min — exact); matches
+    linkgraph.algos.bfs.bfs_distances at fixed_iterations=iters."""
+    src_vals = ", ".join(f"({s}, 0)" for s in sources)
+    parts = [EDGES_CTE, SYM_CTE,
+             f"b0(vid, dist) AS MATERIALIZED (VALUES {src_vals})"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT vid, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT s.dst AS vid, b.dist + 1 AS dist
+    FROM b{i-1} b JOIN sym s ON b.vid = s.src
+    UNION ALL
+    SELECT vid, dist FROM b{i-1}
+  ) GROUP BY vid
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, dist FROM b{iters}"

@@ -503,3 +503,14 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.walks import random_walks
 
     return random_walks(edges_from_lineitem(spark, sf_dir), walk_len=4)
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS from vertices {1, 2} (8 fixed rounds — well
+    past the co-occurrence graph's tiny diameter; unrolled-CTE
+    oracle)."""
+    from linkgraph.algos.bfs import bfs_distances
+
+    return bfs_distances(
+        edges_from_lineitem(spark, sf_dir), sources=[1, 2], fixed_iterations=8
+    )

@@ -364,3 +364,27 @@ def test_random_walks_deterministic_and_valid(spark, edges_df):
         for r in random_walks(e, walk_len=3, seed=7).collect()
     }
     assert c != a
+
+
+def test_bfs_distances_hand_computed(spark, edges_df):
+    """Path + branch: exact distances; unreachable component absent;
+    multi-source takes the closer source; convergence mode equals the
+    fixed-round run."""
+    from linkgraph.algos.bfs import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (10, 11)]
+    e = edges_df(edges)
+    got = {
+        r["vid"]: r["dist"] for r in bfs_distances(e, sources=[0]).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}  # 10,11 unreached
+    multi = {
+        r["vid"]: r["dist"]
+        for r in bfs_distances(e, sources=[0, 3]).collect()
+    }
+    assert multi == {0: 0, 3: 0, 1: 1, 2: 1, 4: 2}
+    fixed = {
+        r["vid"]: r["dist"]
+        for r in bfs_distances(e, sources=[0], fixed_iterations=8).collect()
+    }
+    assert fixed == got
