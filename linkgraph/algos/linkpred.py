@@ -21,7 +21,7 @@ oracle sorts the same way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,55 @@ def adamic_adar_topk(
     return scored.orderBy(
         F.desc("aa_score"), F.asc("u"), F.asc("w")
     ).limit(top)
+
+
+def negative_samples(
+    edges: DataFrame,
+    n_neg: int = 3,
+    n_prop: int = 8,
+    seed: int = 985,
+) -> DataFrame:
+    """Deterministic negative edge sampling → DataFrame[u, neg_vid,
+    rnk] — up to ``n_neg`` non-adjacent vertices per vertex, the
+    training counterpart of ``adamic_adar_topk`` (every link-prediction
+    / embedding loss needs negatives).
+
+    Proposals are hash-driven: candidate i for vertex u is the vertex
+    whose dense rank is H(u, i, seed) mod n (the engine-portable md5
+    hash over ``dense_vertex_ids`` — no RNG state, reproducible across
+    engines and cluster sizes). Self-proposals and existing edges are
+    removed (broadcast-able dense-id join + anti-join against the
+    symmetric edge list); survivors keep proposal order. With n_prop
+    proposals for n_neg keeps, a vertex adjacent to less than
+    (n_prop − n_neg) of its proposals gets its full n_neg (the driver
+    corpus: all 2000 vertices do); callers needing guaranteed counts on
+    denser graphs raise n_prop. Scale shape: an n·n_prop-row explode,
+    two joins, a per-vertex window — no all-pairs anywhere."""
+    from linkgraph.graph import dense_vertex_ids, symmetrize
+
+    d = dense_vertex_ids(edges).cache()
+    n = d.count()
+    props = d.select(F.col("vid").alias("u")).select(
+        "u", F.explode(F.array(*[F.lit(i) for i in range(1, n_prop + 1)])).alias("i")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "u", "i", F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = props.withColumn("idx", F.pmod(h, F.lit(n)))
+    cand = cand.join(
+        d.select("idx", F.col("vid").alias("neg_vid")), "idx"
+    ).where(F.col("neg_vid") != F.col("u"))
+    sym = symmetrize(edges).select(
+        F.col("src").alias("u"), F.col("dst").alias("neg_vid")
+    )
+    cand = cand.join(sym, ["u", "neg_vid"], "left_anti")
+    w = Window.partitionBy("u").orderBy("i")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= n_neg)
+        .select("u", "neg_vid", "rnk")
+    )

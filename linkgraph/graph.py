@@ -163,3 +163,59 @@ def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def dense_vertex_ids(edges: DataFrame, n_parts: int = 32) -> DataFrame:
+    """Deterministic dense vertex numbering → DataFrame[vid, idx] with
+    idx = rank of vid in ascending order, 0-based — the substrate for
+    embedding tables, adjacency arrays, and hash-indexed sampling
+    (``negative_samples``).
+
+    The OUTPUT is a pure function of the vertex set (sorted rank), but
+    the EXECUTION is the classic distributed zipWithIndex — no global
+    single-partition window (``row_number`` without partition keys
+    collapses to one task — the thing this function exists to avoid at
+    10^12 vertices):
+
+    1. range-partition the vids into ``n_parts`` sorted ranges (the
+       sampled bounds need not be balanced or reproducible — ranks are
+       invariant to where the cuts fall),
+    2. collect the P partition sizes (P rows on the driver),
+    3. prefix-sum them into per-partition offsets,
+    4. one ``mapInPandas`` pass enumerates each partition locally and
+       adds its offset.
+
+    The cache between steps 2 and 4 pins the partitioning so both jobs
+    see identical assignment."""
+    import pandas as pd
+
+    v = (
+        vertices(edges)
+        .repartitionByRange(n_parts, "vid")
+        .sortWithinPartitions("vid")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    sizes = {
+        r["_pid"]: r["count"] for r in v.groupBy("_pid").count().collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):  # range partitions are in ascending order
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    def enumerate_parts(batches):
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            idx = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pd.DataFrame(
+                {"vid": pdf["vid"].to_numpy(), "idx": list(idx)}
+            )
+
+    return v.mapInPandas(enumerate_parts, schema="vid long, idx long")

@@ -398,3 +398,42 @@ def sql_bfs_distances(sources=(1, 2), iters: int = 8) -> str:
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, dist FROM b{iters}"
+
+
+def sql_dense_vertex_ids() -> str:
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {VERTS_CTE}
+SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS idx
+FROM verts"""
+
+
+def sql_negative_samples(n_neg: int = 3, n_prop: int = 8, seed: int = 985) -> str:
+    """Mirror of linkgraph.algos.linkpred.negative_samples over the
+    dense-rank definition (row_number − 1) + the portable md5 hash."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {VERTS_CTE},
+d AS MATERIALIZED (
+  SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS idx
+  FROM verts
+),
+n AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+props AS MATERIALIZED (
+  SELECT d.vid AS u, i.i AS i,
+         (('0x' || substr(md5(CAST(d.vid AS VARCHAR) || ':' ||
+            CAST(i.i AS VARCHAR) || ':' || CAST({seed} AS VARCHAR)), 1, 8)
+          )::BIGINT) % (SELECT n FROM n) AS idx
+  FROM d, (SELECT unnest(generate_series(1, {n_prop})) AS i) i
+),
+cand AS MATERIALIZED (
+  SELECT p.u, p.i, d.vid AS neg_vid
+  FROM props p JOIN d ON p.idx = d.idx
+  WHERE d.vid <> p.u
+),
+nonedge AS MATERIALIZED (
+  SELECT c.u, c.i, c.neg_vid FROM cand c
+  LEFT JOIN sym s ON c.u = s.src AND c.neg_vid = s.dst
+  WHERE s.src IS NULL
+)
+SELECT u, neg_vid, rnk FROM (
+  SELECT u, neg_vid,
+         CAST(row_number() OVER (PARTITION BY u ORDER BY i) AS BIGINT) AS rnk
+  FROM nonedge
+) WHERE rnk <= {n_neg}"""

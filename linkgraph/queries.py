@@ -514,3 +514,21 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(
         edges_from_lineitem(spark, sf_dir), sources=[1, 2], fixed_iterations=8
     )
+
+
+def q_dense_vertex_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic dense numbering (vid → sorted rank);
+    the Spark side runs the range-partition + offset enumeration (no
+    global window), the oracle is the logical row_number definition —
+    the gate proves the distributed path computes the logical rank."""
+    from linkgraph.graph import dense_vertex_ids
+
+    return dense_vertex_ids(edges_from_lineitem(spark, sf_dir))
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-driven negative edge sampling (3 negatives from 8
+    proposals per vertex) over the dense-id mapping."""
+    from linkgraph.algos.linkpred import negative_samples
+
+    return negative_samples(edges_from_lineitem(spark, sf_dir))

@@ -388,3 +388,46 @@ def test_bfs_distances_hand_computed(spark, edges_df):
         for r in bfs_distances(e, sources=[0], fixed_iterations=8).collect()
     }
     assert fixed == got
+
+
+def test_dense_vertex_ids_rank_and_partition_invariance(spark, edges_df):
+    """idx is the 0-based sorted rank of vid; output is identical for
+    different n_parts (the range cuts must not leak into the result),
+    which is what lets the distributed path stand in for the logical
+    global row_number."""
+    from linkgraph.graph import dense_vertex_ids
+
+    rng = np.random.default_rng(5)
+    vids = sorted({int(x) for x in rng.integers(0, 10_000, 300)})
+    edges = [(vids[i], vids[i + 1]) for i in range(len(vids) - 1)]
+    e = edges_df(edges)
+    got4 = {r["vid"]: r["idx"] for r in dense_vertex_ids(e, n_parts=4).collect()}
+    got17 = {r["vid"]: r["idx"] for r in dense_vertex_ids(e, n_parts=17).collect()}
+    want = {v: i for i, v in enumerate(sorted(vids))}
+    assert got4 == want
+    assert got17 == want
+
+
+def test_negative_samples_invariants(spark, edges_df):
+    """No sampled pair is an existing edge or a self-loop; at most
+    n_neg per vertex; deterministic; proposal order respected (rnk is
+    a contiguous 1..k prefix)."""
+    from linkgraph.algos.linkpred import negative_samples
+
+    edges = [(i, (i + 1) % 40) for i in range(40)] + [(0, 20), (5, 25)]
+    e = edges_df(edges)
+    rows = negative_samples(e, n_neg=2, n_prop=8).collect()
+    existing = set()
+    for u, v in edges:
+        existing.add((u, v))
+        existing.add((v, u))
+    per_u: dict[int, list[int]] = {}
+    for r in rows:
+        assert (r["u"], r["neg_vid"]) not in existing
+        assert r["u"] != r["neg_vid"]
+        per_u.setdefault(r["u"], []).append(r["rnk"])
+    for u, rks in per_u.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 2
+    again = negative_samples(e, n_neg=2, n_prop=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
