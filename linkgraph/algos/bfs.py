@@ -8,9 +8,15 @@ oracle matches bit-for-bit at a fixed round count. Unreached vertices
 simply don't appear (the frontier never visits them).
 
 Scale shape per round: one join + one partial-aggregated min — the CC
-superstep budget; rounds = eccentricity of the source set (small on
-link graphs). The distance table is rolled through localCheckpoint
-every round (referenced twice: propagation + fold).
+superstep budget — but the join's left side is the FRONTIER (vertices
+whose distance improved last round), not the whole reached set, so
+per-round edge fan-out is |frontier|-bound: late rounds touching a
+handful of fringe vertices cost a handful of joins, not |reached|
+re-propagations. Exact: unit-weight min is monotone, so a vertex that
+didn't improve last round generates exactly the candidate distances
+it already generated before — dropping it changes nothing. Both the
+distance table and the frontier are rolled through localCheckpoint
+every round (each is referenced twice per round).
 """
 
 from __future__ import annotations
@@ -24,35 +30,51 @@ def bfs_distances(
     sources: list[int],
     max_iterations: int = 20,
     fixed_iterations: int | None = None,
+    frontier_counts: list[int] | None = None,
 ) -> DataFrame:
     """Returns ``DataFrame[vid: long, dist: long]`` for every vertex
-    reachable from ``sources`` (sources themselves at dist 0)."""
+    reachable from ``sources`` (sources themselves at dist 0).
+    ``frontier_counts`` (optional) collects the per-round frontier
+    sizes — the scale evidence that late rounds shrink."""
     from linkgraph.graph import symmetrize
     from linkgraph.rolling import RollingCheckpoint
 
     spark = edges.sparkSession
     roll = RollingCheckpoint()
+    roll_f = RollingCheckpoint()
     sym = symmetrize(edges).cache()
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "vid long, dist long"
     )
+    frontier = dist  # round 1 propagates from the sources
     rounds = fixed_iterations if fixed_iterations is not None else max_iterations
-    prev = None
+    if frontier_counts is not None:
+        frontier_counts.append(len(sources))
     for _ in range(rounds):
-        nbr = sym.join(dist, sym["src"] == dist["vid"]).select(
+        # propagate from the frontier only (delta); candidates a
+        # non-frontier vertex would re-generate already lost the min
+        # fold in an earlier round — dropping them is exact
+        nbr = sym.join(frontier, sym["src"] == frontier["vid"]).select(
             F.col("dst").alias("vid"), (F.col("dist") + 1).alias("dist")
         )
-        dist = roll(
-            nbr.unionByName(dist).groupBy("vid").agg(F.min("dist").alias("dist"))
+        cand = nbr.groupBy("vid").agg(F.min("dist").alias("dist"))
+        frontier = roll_f(
+            cand.join(
+                dist.select("vid", F.col("dist").alias("_old")), "vid", "left"
+            )
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("vid", "dist")
         )
-        if fixed_iterations is None:
-            # reached-count grows monotonically; distance sum shrinks —
-            # both unchanged ⇔ fixpoint
-            cur = dist.agg(
-                F.count("*").alias("n"), F.sum("dist").alias("s")
-            ).first()
-            sig = (cur["n"], cur["s"])
-            if sig == prev:
+        dist = roll(
+            frontier.unionByName(dist)
+            .groupBy("vid")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if frontier_counts is not None or fixed_iterations is None:
+            n_new = frontier.count()
+            if frontier_counts is not None:
+                frontier_counts.append(n_new)
+            # empty frontier ⇔ fixpoint (min is monotone)
+            if fixed_iterations is None and n_new == 0:
                 break
-            prev = sig
     return dist

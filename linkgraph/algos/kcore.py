@@ -56,14 +56,22 @@ def k_core(
             .groupBy("src")
             .agg(F.count("*").cast("long").alias("core_degree"))
         )
-        out = roll(
-            deg.where(F.col("core_degree") >= k).select(
-                F.col("src").alias("vid"), "core_degree"
-            )
+        survivors = deg.where(F.col("core_degree") >= k).select(
+            F.col("src").alias("vid"), "core_degree"
         )
-        alive = out.select("vid")
+        obs = None
         if fixed_iterations is None:
-            n = out.count()
+            # piggyback the convergence count on the peel itself: the
+            # eager localCheckpoint below is the action that populates
+            # the Observation — zero extra jobs per round
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            survivors = survivors.observe(obs, F.count(F.lit(1)).alias("n"))
+        out = roll(survivors)
+        alive = out.select("vid")
+        if obs is not None:
+            n = obs.get["n"]
             if prev_n == n:
                 break
             prev_n = n

@@ -9,8 +9,12 @@ reproducible across engines, runs, and cluster sizes, and the driver
 gate can value-check them exactly (no RNG state).
 
 Scale shape per step: frontier ⋈ symmetric edges (shuffle on the
-current vertex) + a per-walk argmin window — the same budget as one
-CC superstep; the frontier is one row per walk. Dead ends (isolated
+current vertex) + a per-walk ``min_by`` aggregate — the same budget
+as one CC superstep; the frontier is one row per walk. The argmin is
+a groupBy aggregate (NOT a window) so map-side partial aggregation
+collapses a hub's adjacency to one row per walk per input partition
+before the shuffle — a 10^8-degree hub never ships its whole
+neighbor list into a single task. Dead ends (isolated
 vertices can't occur on a symmetrized edge list, but a walk could in
 principle hit one on filtered graphs) terminate the walk early via
 the inner join. The frontier is rolled through localCheckpoint each
@@ -19,15 +23,21 @@ step (single reference, but lineage still grows linearly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def random_walks(
-    edges: DataFrame, walk_len: int = 4, seed: int = 985
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed: int = 985,
+    step_plans: list[str] | None = None,
 ) -> DataFrame:
     """Returns ``DataFrame[start_vid, step, vid]`` — step 0 is the
-    start vertex, steps 1..walk_len the visited vertices."""
+    start vertex, steps 1..walk_len the visited vertices.
+    ``step_plans`` (optional, tests) collects each step's physical
+    plan string before checkpointing — the evidence that the argmin
+    partially aggregates map-side."""
     from linkgraph.graph import symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
 
@@ -42,7 +52,6 @@ def random_walks(
         F.col("vid").alias("start_vid"), F.col("vid").alias("vid")
     )
     out = cur.withColumn("step", F.lit(0).cast("long"))
-    w = Window.partitionBy("start_vid").orderBy("h", "dst")
     for s in range(1, walk_len + 1):
         nxt = (
             cur.join(sym, cur["vid"] == sym["src"])
@@ -62,10 +71,19 @@ def random_walks(
                     10,
                 ).cast("long"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("start_vid", F.col("dst").alias("vid"))
+            # argmin over (h, dst) as a partial-aggregating min_by —
+            # identical winner to the former row_number window, but a
+            # hub's fan-out collapses map-side instead of serializing
+            # through one window task
+            .groupBy("start_vid")
+            .agg(
+                F.min_by(F.col("dst"), F.struct("h", "dst")).alias("vid")
+            )
         )
+        if step_plans is not None:
+            step_plans.append(
+                nxt._jdf.queryExecution().executedPlan().toString()
+            )
         cur = roll(nxt)
         out = roll_out(
             out.unionByName(cur.withColumn("step", F.lit(s).cast("long")))

@@ -175,7 +175,8 @@ def ne_coarse(
     pool_hood = _seed_hoods(sym, deg, pool, d_cap)
     picked: list[int] = []
     covered: set[int] = set()
-    for r in pool.collect():  # already in (degree, vid) order
+    pool_rows = pool.collect()  # one action; reused by the fill pass
+    for r in pool_rows:  # already in (degree, vid) order
         v = int(r["vid"])
         hood = pool_hood.get(v, set())
         if v in covered or (hood & covered):
@@ -190,7 +191,7 @@ def ne_coarse(
         # (ties → degree order, the list's order)
         rest = [
             (len(pool_hood.get(int(r["vid"]), set()) & covered), i, int(r["vid"]))
-            for i, r in enumerate(pool.collect())
+            for i, r in enumerate(pool_rows)
             if int(r["vid"]) not in picked
         ]
         for _, _, v in sorted(rest):

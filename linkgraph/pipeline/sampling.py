@@ -141,22 +141,67 @@ def pack_sequences(
     )
 
 
+CAP_PREFILTER_BUCKETS = 65_536  # 2^16 order-preserving hash buckets
+
+
+def _cap_prefilter(
+    base: DataFrame, cap: int, buckets: int = CAP_PREFILTER_BUCKETS
+) -> DataFrame:
+    """Exact-safe skew pre-filter for the per-source TopK (the
+    ne.py:244 cnt-threshold pattern, fully distributed here). The md5
+    hash is uniform on [0, 2^32); bucket = h div (2^32/buckets) is
+    order-preserving (b1 < b2 ⇒ h1 < h2). From a per-(source, bucket)
+    histogram (≤ ``buckets`` rows per source — the cumulative window
+    is tiny) find each source's first bucket where the cumulative
+    count reaches ``cap``: a row in a strictly later bucket has ≥ cap
+    rows with strictly smaller hash ahead of it, so it can never rank
+    ≤ cap — dropping it before the ranking window changes nothing
+    (ties at the threshold bucket still compete inside the window).
+    A 10^9-doc mega-domain's window input shrinks from 10^9 rows to
+    ~|domain|/buckets — bounded task size, bit-identical output."""
+    from pyspark.sql import Window
+
+    width = (1 << 32) // buckets
+    bucketed = base.withColumn("_b", (F.col("_h") / F.lit(width)).cast("long"))
+    wb = Window.partitionBy("source").orderBy("_b")
+    thr = (
+        bucketed.groupBy("source", "_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_cum", F.sum("_n").over(wb))
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("_cum") >= cap, F.col("_b"))),
+                F.lit(buckets),
+            ).alias("_thr")
+        )
+    )
+    return (
+        bucketed.join(thr, "source")
+        .where(F.col("_b") <= F.col("_thr"))
+        .drop("_b", "_thr")
+    )
+
+
 def domain_cap(docs: DataFrame, cap: int = 5, salt: str = "cap") -> DataFrame:
     """At most ``cap`` documents per source domain — the anti-
     overrepresentation step (a crawl's mega-domains would otherwise
     dominate the mixture). Which docs survive is deterministic: rank
     within each source by (H(doc_id, salt), doc_id) and keep rank ≤
     cap — a seeded uniform choice that reproduces across engines and
-    cluster sizes. One shuffle keyed by source; the per-source window
-    sorts only that source's rows (for a pathological mega-domain the
-    same cnt-threshold pre-filter used in ne.py applies — at cap ≪
-    |domain| a TopK per key via groupBy+min_by-style pruning would cut
-    the sort, noted for 100 TB)."""
+    cluster sizes. One shuffle keyed by source; a mega-domain never
+    serializes through one task because ``_cap_prefilter`` prunes the
+    window input to ~cap-ish rows per source first (exact — see its
+    docstring)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy(_h(F.col("doc_id"), salt), "doc_id")
+    base = docs.select("doc_id", "source").withColumn(
+        "_h", _h(F.col("doc_id"), salt)
+    )
+    pruned = _cap_prefilter(base, cap)
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
     return (
-        docs.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        pruned.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk")
     )

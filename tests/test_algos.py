@@ -431,3 +431,54 @@ def test_negative_samples_invariants(spark, edges_df):
         assert len(rks) <= 2
     again = negative_samples(e, n_neg=2, n_prop=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_random_walks_star_hub_partial_agg(spark, edges_df):
+    """A hub's fan-out must collapse map-side: the step argmin is a
+    groupBy min_by whose physical plan carries a partial_min_by stage
+    (window-based argmin would serialize the hub's whole adjacency
+    into one task). Winner matches the brute-force md5 argmin."""
+    import hashlib
+
+    from linkgraph.algos.walks import random_walks
+
+    n_leaves = 500
+    e = edges_df([(0, i) for i in range(1, n_leaves + 1)])
+    plans: list[str] = []
+    rows = random_walks(e, walk_len=1, step_plans=plans).collect()
+    assert len(plans) == 1
+    assert "partial_min_by" in plans[0]  # map-side combine present
+
+    def h(v, s, u, seed=985):
+        return int(
+            hashlib.md5(f"{v}:{s}:{u}:{seed}".encode()).hexdigest()[:8], 16
+        )
+
+    expect_from_hub = min(
+        range(1, n_leaves + 1), key=lambda u: (h(0, 1, u), u)
+    )
+    got = {(r["start_vid"], r["step"]): r["vid"] for r in rows}
+    assert got[(0, 1)] == expect_from_hub
+    for leaf in (1, n_leaves):
+        assert got[(leaf, 1)] == 0  # leaves can only walk to the hub
+
+
+def test_bfs_frontier_shrinks_on_chain(spark, edges_df):
+    """Frontier-delta BFS: on a 20-vertex path from source 0 every
+    round's frontier is exactly one vertex (never the whole reached
+    set), and the empty frontier ends the loop; distances exact."""
+    from linkgraph.algos.bfs import bfs_distances
+
+    n = 20
+    e = edges_df([(i, i + 1) for i in range(n - 1)])
+    counts: list[int] = []
+    got = {
+        r["vid"]: r["dist"]
+        for r in bfs_distances(
+            e, sources=[0], max_iterations=30, frontier_counts=counts
+        ).collect()
+    }
+    assert got == {i: i for i in range(n)}
+    # counts[0] is the seed set; rounds then reach one new vertex each
+    assert counts[0] == 1
+    assert counts[1:] == [1] * (n - 1) + [0]  # |frontier| ≪ |reached|

@@ -502,3 +502,41 @@ def test_stratified_sample_empty_rates_drops_all(spark):
         "doc_id long, text string, lang string, source string",
     )
     assert stratified_sample(docs, rates={}).count() == 0
+
+
+def test_domain_cap_megadomain_prefilter(spark):
+    """A planted mega-domain must not reach the ranking window whole:
+    the order-preserving hash-bucket pre-filter prunes it to ~cap-ish
+    rows, and the capped output is bit-identical to the naive
+    window-over-everything formulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.sampling import _cap_prefilter, _h, domain_cap
+
+    mega_n = 20_000
+    rows = [(i, "t", "en", "mega") for i in range(mega_n)]
+    rows += [(mega_n + i, "t", "en", f"small{i % 4}") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    base = docs.select("doc_id", "source").withColumn(
+        "_h", _h(F.col("doc_id"), "cap")
+    )
+    pruned = _cap_prefilter(base, cap=5)
+    n_pruned = pruned.where(F.col("source") == "mega").count()
+    assert n_pruned < 100  # window input ≪ |domain| (= 20k)
+    assert n_pruned >= 5  # but never fewer than the cap itself
+
+    out = sorted(map(tuple, domain_cap(docs, cap=5).collect()))
+    w = Window.partitionBy("source").orderBy(_h(F.col("doc_id"), "cap"), "doc_id")
+    naive = sorted(
+        map(
+            tuple,
+            docs.select("doc_id", "source")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= 5)
+            .collect(),
+        )
+    )
+    assert out == naive
