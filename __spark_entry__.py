@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 -------------------------------------------
         "pagerank_warm": q.q_pagerank_warm,
         "components_warm": q.q_components_warm,
+        "clustering_coefficients": q.q_clustering_coefficients,
+        "edges_events_weighted": q.q_edges_events_weighted,
+        "pagerank_weighted": q.q_pagerank_weighted,
+        "scc": q.q_scc,
+        "node2vec_walks": q.q_node2vec_walks,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -164,6 +169,13 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_csr": o.sql_label_propagation(),
         "triangles": o.sql_triangles(),
         "triangle_total": o.sql_triangle_total(),
+        "clustering_coefficients": o.sql_clustering(),
+        "edges_events_weighted": o.sql_edges_events_weighted(),
+        "pagerank_weighted": o.sql_pagerank_weighted(),
+        # converged SCC labels are a graph property; the oracle is an
+        # independent pure-Python Tarjan emitted as a VALUES literal
+        "scc": lo.sql_scc(),
+        "node2vec_walks": o.sql_node2vec(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -89,3 +89,116 @@ def random_walks(
             out.unionByName(cur.withColumn("step", F.lit(s).cast("long")))
         )
     return out.select("start_vid", "step", "vid")
+
+
+def _step_hash(v_col, s: int, u_col, j, seed: int):
+    """Engine-portable ticket hash int(md5(f"{v}:{s}:{u}:{j}:{seed}")
+    [:8], 16) — one independent lottery ticket per unit of weight."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", v_col, F.lit(s), u_col, F.lit(j), F.lit(seed)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def node2vec_walks(
+    edges: DataFrame, walk_len: int = 3, seed: int = 985
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks, one per vertex →
+    ``DataFrame[start_vid, step, vid]``.
+
+    Step 1 is first-order uniform; steps ≥ 2 bias the choice of next
+    neighbor u from current v given previous t (p = 2, q = 1/2 scaled
+    to integer weights): RETURN to t → weight 1, u adjacent to t
+    ("stay close") → weight 2, u not adjacent to t ("explore") →
+    weight 4.
+
+    Weighted choice is derandomized EXACTLY with the lottery-ticket
+    trick: every unit of weight gets one independent md5 ticket
+    hash(v, step, u, ticket_j, seed); the walk moves to the neighbor
+    holding the globally smallest ticket, so u wins with probability
+    weight(u) / Σ weight — integer hash comparisons only, identical
+    arithmetic in DuckDB (no pow/libm divergence), reproducible across
+    engines/runs/cluster sizes. The argmin is a partial-aggregating
+    ``min_by`` (hub fan-out collapses map-side, same shape as
+    ``random_walks``); the adjacency bias costs one extra join of the
+    candidate set against the symmetric edge list per step — the
+    triangle-enumeration budget, not a window.
+    """
+    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    BIG = 1 << 33  # sentinel above any 32-bit md5 prefix
+    roll = RollingCheckpoint()
+    roll_out = RollingCheckpoint()
+    sym = symmetrize(edges).cache()
+    cur = vertices(edges).select(
+        F.col("vid").alias("start_vid"),
+        F.col("vid").alias("prev"),
+        F.col("vid").alias("vid"),
+    )
+    out = cur.select(
+        "start_vid", F.lit(0).cast("long").alias("step"), "vid"
+    )
+    adj = sym.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+    for s in range(1, walk_len + 1):
+        cand = cur.join(sym, cur["vid"] == sym["src"])
+        if s == 1:
+            # first-order: every neighbor weight 1 (single ticket)
+            key = _step_hash(F.col("src"), s, F.col("dst"), 0, seed)
+            cand = cand.withColumn("key", key)
+        else:
+            cand = cand.join(
+                adj,
+                (cand["prev"] == adj["_a"]) & (cand["dst"] == adj["_b"]),
+                "left",
+            )
+            w = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(1))
+                .when(F.col("_a").isNotNull(), F.lit(2))
+                .otherwise(F.lit(4))
+            )
+            t = [
+                _step_hash(F.col("src"), s, F.col("dst"), j, seed)
+                for j in range(4)
+            ]
+            cand = cand.withColumn(
+                "key",
+                F.least(
+                    t[0],
+                    F.when(w >= 2, t[1]).otherwise(F.lit(BIG)),
+                    F.when(w >= 4, t[2]).otherwise(F.lit(BIG)),
+                    F.when(w >= 4, t[3]).otherwise(F.lit(BIG)),
+                ),
+            )
+        nxt = cand.groupBy("start_vid").agg(
+            F.min_by(
+                F.struct(
+                    F.col("dst").alias("vid"), F.col("vid").alias("prev")
+                ),
+                F.struct("key", "dst"),
+            ).alias("m")
+        )
+        cur = roll(
+            nxt.select(
+                "start_vid",
+                F.col("m.prev").alias("prev"),
+                F.col("m.vid").alias("vid"),
+            )
+        )
+        out = roll_out(
+            out.unionByName(
+                cur.select(
+                    "start_vid", F.lit(s).cast("long").alias("step"), "vid"
+                )
+            )
+        )
+    return out.select("start_vid", "step", "vid")

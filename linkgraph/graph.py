@@ -165,6 +165,71 @@ def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interaction graph: same (hour, event_type) co-action
+    join as ``edges_from_events`` but WITHOUT the distinct — the
+    weight of (u, v) is the number of co-acting event pairs, the
+    natural interaction-intensity weight. src < dst, no self-loops.
+    One shuffle on the composite group key + one on the edge key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(b, on=["hour", "event_type"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def directed_edges_from_lineitem(
+    spark: SparkSession, sf_dir: str, back_mod: int = 64
+) -> DataFrame:
+    """DIRECTED order-sequence graph — the SCC substrate. Within each
+    order, edge from the part at line i to the part at line i+1 (the
+    temporal "bought after" relation). All forward edges (src < dst)
+    are kept; a backward edge survives only when
+    H(src, dst, 'scc') % back_mod == 0 — deterministic sampling of
+    reciprocal links that gives the graph the web's bowtie SCC shape
+    (one giant core + a periphery of singletons) instead of one
+    all-encompassing cycle (dense co-occurrence makes every vertex
+    mutually reachable otherwise — measured: back_mod=1 collapses to
+    a single SCC even at sf0.001). Distinct pairs, no self-loops. The
+    per-order window is bounded by order size — no skew."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").cast("long").alias("pk"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    nxt = li.withColumn("nxt", F.lead("pk").over(w)).where(
+        F.col("nxt").isNotNull() & (F.col("nxt") != F.col("pk"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "pk", "nxt", F.lit("scc"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        nxt.where(
+            (F.col("pk") < F.col("nxt"))
+            | (F.pmod(h, F.lit(back_mod)) == 0)
+        )
+        .select(F.col("pk").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+
+
 def dense_vertex_ids(edges: DataFrame, n_parts: int = 32) -> DataFrame:
     """Deterministic dense vertex numbering → DataFrame[vid, idx] with
     idx = rank of vid in ascending order, 0-based — the substrate for

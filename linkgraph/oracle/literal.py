@@ -706,3 +706,104 @@ def sql_partition_fennel_chunked(sf_dir: str = ORACLE_SF) -> str:
         list(_vertex_chunked_assignment(sf_dir, "fennel")),
         [("vid", "BIGINT"), ("partition", "BIGINT")],
     )
+
+
+@lru_cache(maxsize=4)
+def _directed_lineitem_edges(
+    sf_dir: str, back_mod: int = 64
+) -> tuple[tuple[int, int], ...]:
+    """The directed order-sequence edge list (same derivation as
+    linkgraph.graph.directed_edges_from_lineitem: per-order successor
+    chain, backward edges kept iff md5(src:dst:scc) % back_mod == 0)."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+          SELECT l_partkey,
+                 lead(l_partkey) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+          FROM read_parquet('{sf_dir}/lineitem.parquet'))
+        WHERE nxt IS NOT NULL AND nxt != l_partkey"""
+    ).fetchall()
+    con.close()
+
+    def h(u: int, v: int) -> int:
+        return int(
+            hashlib.md5(f"{u}:{v}:scc".encode()).hexdigest()[:8], 16
+        )
+
+    return tuple(
+        (int(u), int(v))
+        for u, v in rows
+        if u < v or h(int(u), int(v)) % back_mod == 0
+    )
+
+
+def _tarjan_scc(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan; returns vid → min vid of its SCC. The
+    independent ground truth the distributed coloring algorithm
+    (linkgraph.algos.scc) is gated against — deliberately a different
+    algorithm, so agreement pins the graph property, not the code."""
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = 0
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                label = min(comp)
+                for w in comp:
+                    out[w] = label
+    return out
+
+
+def sql_scc(sf_dir: str = ORACLE_SF) -> str:
+    labels = _tarjan_scc(list(_directed_lineitem_edges(sf_dir)))
+    return _values_sql(
+        sorted(labels.items()),
+        [("vid", "BIGINT"), ("scc", "BIGINT")],
+    )

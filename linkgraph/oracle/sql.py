@@ -437,3 +437,112 @@ SELECT u, neg_vid, rnk FROM (
          CAST(row_number() OVER (PARTITION BY u ORDER BY i) AS BIGINT) AS rnk
   FROM nonedge
 ) WHERE rnk <= {n_neg}"""
+
+
+def sql_clustering() -> str:
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {VERTS_CTE}, {DEG_CTE}, {_TRI_CTE},
+members AS (
+  SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnts AS (SELECT vid, CAST(count(*) AS BIGINT) AS triangles FROM members GROUP BY vid)
+SELECT v.vid, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles, d.degree,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(c.triangles, 0)
+                       / (d.degree * (d.degree - 1.0)), 6) END AS lcc
+FROM verts v LEFT JOIN cnts c ON v.vid = c.vid JOIN deg d ON v.vid = d.vid"""
+
+
+EVENTS_WEDGES_CTE = """we AS MATERIALIZED (
+  SELECT a.user_id AS src, b.user_id AS dst, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT date_trunc('hour', ts) AS hour, event_type, user_id FROM events) a
+  JOIN (SELECT date_trunc('hour', ts) AS hour, event_type, user_id FROM events) b
+    ON a.hour = b.hour AND a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)"""
+
+
+def sql_edges_events_weighted() -> str:
+    return f"WITH {EVENTS_WEDGES_CTE} SELECT src, dst, weight FROM we"
+
+
+def sql_pagerank_weighted(iters: int = 5, d: float = 0.85) -> str:
+    """Mirror of linkgraph.algos.pagerank.pagerank_weighted over the
+    weighted events interaction graph."""
+    parts = [
+        EVENTS_WEDGES_CTE,
+        "wsym AS MATERIALIZED (SELECT src, dst, weight FROM we UNION ALL SELECT dst, src, weight FROM we)",
+        "wverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM wsym)",
+        "wn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wverts)",
+        "ow AS (SELECT src AS vid, sum(weight) AS outw FROM wsym GROUP BY src)",
+        "wr0 AS (SELECT vid, 1.0 / (SELECT n FROM wn) AS rank FROM wverts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""wr{i} AS MATERIALIZED (
+  SELECT s.dst AS vid,
+         (1.0 - {d}) / (SELECT n FROM wn) + {d} * sum(r.rank * s.weight / o.outw) AS rank
+  FROM wsym s JOIN wr{i - 1} r ON s.src = r.vid JOIN ow o ON s.src = o.vid
+  GROUP BY s.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(rank, 6) AS rank FROM wr{iters}"
+    )
+
+
+_N2V_BIG = 1 << 33  # > any 32-bit md5-prefix ticket
+
+
+def _n2v_hash(s: int, j: int, seed: int) -> str:
+    return (
+        "(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || "
+        f"CAST({s} AS VARCHAR) || ':' || CAST(dst AS VARCHAR) || ':' || "
+        f"CAST({j} AS VARCHAR) || ':' || CAST({seed} AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+
+
+def sql_node2vec(walk_len: int = 3, seed: int = 985) -> str:
+    """Mirror of linkgraph.algos.walks.node2vec_walks: lottery-ticket
+    weighted choice (weights 1/2/4 for return/common/far), argmin via
+    row_number (ties by dst) — integer md5 arithmetic only."""
+    parts = [
+        EDGES_CTE, SYM_CTE, VERTS_CTE,
+        "n0 AS MATERIALIZED (SELECT vid AS start_vid, vid AS prev, vid FROM verts)",
+    ]
+    sel = ["SELECT start_vid, CAST(0 AS BIGINT) AS step, vid FROM n0"]
+    for s in range(1, walk_len + 1):
+        if s == 1:
+            key = _n2v_hash(1, 0, seed)
+            inner = """
+      SELECT f.start_vid, f.vid AS cur, s.dst, 1 AS w
+      FROM n0 f JOIN sym s ON f.vid = s.src"""
+        else:
+            key = (
+                f"least({_n2v_hash(s, 0, seed)}, "
+                f"CASE WHEN w >= 2 THEN {_n2v_hash(s, 1, seed)} ELSE {_N2V_BIG} END, "
+                f"CASE WHEN w >= 4 THEN {_n2v_hash(s, 2, seed)} ELSE {_N2V_BIG} END, "
+                f"CASE WHEN w >= 4 THEN {_n2v_hash(s, 3, seed)} ELSE {_N2V_BIG} END)"
+            )
+            inner = f"""
+      SELECT f.start_vid, f.vid AS cur, s.dst,
+             CASE WHEN s.dst = f.prev THEN 1
+                  WHEN c.src IS NOT NULL THEN 2 ELSE 4 END AS w
+      FROM n{s - 1} f
+      JOIN sym s ON f.vid = s.src
+      LEFT JOIN sym c ON c.src = f.prev AND c.dst = s.dst"""
+        parts.append(
+            f"""n{s} AS MATERIALIZED (
+  SELECT start_vid, prev, vid FROM (
+    SELECT start_vid, cur AS prev, dst AS vid,
+           row_number() OVER (PARTITION BY start_vid ORDER BY {key}, dst) AS rn
+    FROM ({inner}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+        sel.append(
+            f"SELECT start_vid, CAST({s} AS BIGINT) AS step, vid FROM n{s}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)

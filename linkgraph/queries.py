@@ -20,10 +20,12 @@ from pyspark.sql import functions as F
 from linkgraph.graph import (
     adjacency_lists,
     degrees,
+    directed_edges_from_lineitem,
     edges_from_adjacency,
     edges_from_events,
     edges_from_lineitem,
     vertices,
+    weighted_edges_from_events,
 )
 from linkgraph.partition.metrics import edge_partition_metrics
 from linkgraph.partition.strategies import dbh, grid, hash_edges
@@ -575,3 +577,46 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.linkpred import negative_samples
 
     return negative_samples(edges_from_lineitem(spark, sf_dir))
+
+
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the co-occurrence
+    graph (degree-oriented triangle enumeration + degree join)."""
+    from linkgraph.algos.clustering import clustering_coefficients
+
+    return clustering_coefficients(edges_from_lineitem(spark, sf_dir))
+
+
+def q_edges_events_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interaction edge list (co-action pair counts)."""
+    return weighted_edges_from_events(spark, sf_dir)
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank over the events interaction graph."""
+    from linkgraph.algos.pagerank import pagerank_weighted
+
+    r = pagerank_weighted(
+        weighted_edges_from_events(spark, sf_dir), iterations=PR_ITERS
+    )
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed order-sequence
+    graph (bowtie-shaped: giant core + singleton periphery) —
+    distributed min-label coloring, gated against an independent
+    pure-Python Tarjan literal oracle."""
+    from linkgraph.algos.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        directed_edges_from_lineitem(spark, sf_dir)
+    )
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased (node2vec-style) walks over the
+    co-occurrence graph, derandomized via lottery-ticket hashing."""
+    from linkgraph.algos.walks import node2vec_walks
+
+    return node2vec_walks(edges_from_lineitem(spark, sf_dir), walk_len=3)

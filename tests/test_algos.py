@@ -482,3 +482,136 @@ def test_bfs_frontier_shrinks_on_chain(spark, edges_df):
     # counts[0] is the seed set; rounds then reach one new vertex each
     assert counts[0] == 1
     assert counts[1:] == [1] * (n - 1) + [0]  # |frontier| ≪ |reached|
+
+
+def test_clustering_coefficients_hand_computed(spark, edges_df):
+    """Triangle 0-1-2 plus pendant 3 off vertex 2: lcc(0)=lcc(1)=1,
+    lcc(2)=1/3 (one closed pair of three), lcc(3)=0 (degree 1)."""
+    from linkgraph.algos.clustering import clustering_coefficients
+
+    e = edges_df([(0, 1), (0, 2), (1, 2), (2, 3)])
+    got = {
+        r["vid"]: (r["triangles"], r["degree"], r["lcc"])
+        for r in clustering_coefficients(e).collect()
+    }
+    assert got == {
+        0: (1, 2, 1.0),
+        1: (1, 2, 1.0),
+        2: (1, 3, round(1 / 3, 6)),
+        3: (0, 1, 0.0),
+    }
+
+
+def test_scc_hand_computed(spark, edges_df):
+    """Two cycles joined by a one-way bridge + a feeder vertex: each
+    cycle is its own SCC (labeled by its min vid), the feeder is a
+    singleton — the one-way bridge must NOT merge them."""
+    from linkgraph.algos.scc import strongly_connected_components
+
+    e = edges_df(
+        [(1, 2), (2, 3), (3, 1),  # cycle A
+         (5, 6), (6, 5),          # cycle B
+         (3, 5),                  # one-way bridge A -> B
+         (9, 1)]                  # feeder singleton
+    )
+    got = {
+        r["vid"]: r["scc"]
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_scc_matches_tarjan_on_derived_graph(spark):
+    """The Spark directed-edge derivation AND the distributed coloring
+    both match the pure-Python sides at sf0.001 (pins the oracle
+    pairing end-to-end outside the driver gate)."""
+    from linkgraph.algos.scc import strongly_connected_components
+    from linkgraph.graph import directed_edges_from_lineitem
+    from linkgraph.oracle.literal import (
+        _directed_lineitem_edges,
+        _tarjan_scc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = directed_edges_from_lineitem(spark, sf)
+    got_edges = {(r["src"], r["dst"]) for r in e.collect()}
+    assert got_edges == set(_directed_lineitem_edges(sf))
+    got = {
+        r["vid"]: r["scc"]
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == _tarjan_scc(list(_directed_lineitem_edges(sf)))
+
+
+def test_node2vec_walks_match_ticket_replay(spark, edges_df):
+    """The Spark walk equals a pure-Python replay of the lottery-ticket
+    rule on a small graph (pins weights 1/2/4 for return/common/far
+    and the exact ticket hashing), and walks follow real edges."""
+    import hashlib
+
+    from linkgraph.algos.walks import node2vec_walks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (1, 4), (4, 5)]
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+
+    def h(cur, s, u, j, seed=985):
+        return int(
+            hashlib.md5(f"{cur}:{s}:{u}:{j}:{seed}".encode()).hexdigest()[:8],
+            16,
+        )
+
+    def next_step(cur, prev, s):
+        best = None
+        for u in sorted(nbrs[cur]):
+            if s == 1:
+                key = h(cur, s, u, 0)
+            else:
+                w = 1 if u == prev else (2 if u in nbrs[prev] else 4)
+                tickets = [h(cur, s, u, j) for j in range(w)]
+                key = min(tickets)
+            if best is None or (key, u) < best[0]:
+                best = ((key, u), u)
+        return best[1]
+
+    walk_len = 3
+    expect = {}
+    for start in nbrs:
+        prev = cur = start
+        expect[(start, 0)] = start
+        for s in range(1, walk_len + 1):
+            nxt = next_step(cur, prev, s)
+            expect[(start, s)] = nxt
+            prev, cur = cur, nxt
+    got = {
+        (r["start_vid"], r["step"]): r["vid"]
+        for r in node2vec_walks(edges_df(edges), walk_len=walk_len).collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Weighted PageRank equals the dense numpy power iteration with
+    transition ∝ weight/Σweight (5 iterations, both from uniform)."""
+    import numpy as np
+
+    from linkgraph.algos.pagerank import pagerank_weighted
+
+    wedges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 3, 5)]
+    wdf = spark.createDataFrame(wedges, "src long, dst long, weight long")
+    n = 4
+    W = np.zeros((n, n))
+    for u, v, w in wedges:
+        W[u, v] += w
+        W[v, u] += w
+    P = W / W.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+    got = {
+        row["vid"]: row["rank"]
+        for row in pagerank_weighted(wdf, iterations=5).collect()
+    }
+    assert np.allclose([got[i] for i in range(n)], r, atol=1e-9)
