@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q.q_pagerank_weighted,
         "scc": q.q_scc,
         "node2vec_walks": q.q_node2vec_walks,
+        "pagerank_personalized": q.q_pagerank_personalized,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         # independent pure-Python Tarjan emitted as a VALUES literal
         "scc": lo.sql_scc(),
         "node2vec_walks": o.sql_node2vec(),
+        "pagerank_personalized": o.sql_pagerank_personalized(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -203,3 +203,51 @@ def pagerank_weighted(
             new_ranks = roll(new_ranks)
         ranks = new_ranks
     return ranks.select("vid", "rank")
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted (uniformly) to
+    ``seeds`` — r ← (1−d)·e_S + d·Pᵀr from r₀ = e_S. The similarity-
+    to-seed-set ranking used for seed expansion / related-item scoring.
+    Undirected input is symmetrized ⇒ no dangling mass; vertices that
+    receive no flow simply keep rank contributions of 0 and are still
+    emitted (full vertex set, like the uniform PR). Same superstep
+    budget as ``pagerank``: one shuffle join + one partial-aggregated
+    sum per iteration. Returns ``DataFrame[vid, rank]``."""
+    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
+    sym = symmetrize(edges)
+    out_deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    links = sym.join(out_deg, "src").select("src", "dst", "outdeg").cache()
+    verts = vertices(edges).cache()
+    seed_set = {int(s) for s in seeds}
+    e_s = F.when(
+        F.col("vid").isin(sorted(seed_set)), F.lit(1.0 / len(seed_set))
+    ).otherwise(F.lit(0.0))
+    ranks = roll(verts.withColumn("rank", e_s))
+    for i in range(iterations):
+        msgs = links.join(ranks, links["src"] == ranks["vid"]).select(
+            F.col("dst").alias("vid"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+        flow = msgs.groupBy("vid").agg(
+            (F.lit(damping) * F.sum("c")).alias("flow")
+        )
+        new_ranks = verts.join(flow, "vid", "left").select(
+            "vid",
+            (
+                (F.lit(1.0 - damping) * e_s) + F.coalesce("flow", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_ranks = roll(new_ranks)
+        ranks = new_ranks
+    return ranks.select("vid", "rank")

@@ -546,3 +546,37 @@ def sql_node2vec(walk_len: int = 3, seed: int = 985) -> str:
             f"SELECT start_vid, CAST({s} AS BIGINT) AS step, vid FROM n{s}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def sql_pagerank_personalized(
+    seeds=(1, 2), iters: int = 5, d: float = 0.85
+) -> str:
+    """Mirror of linkgraph.algos.pagerank.pagerank_personalized."""
+    seed_list = ", ".join(str(s) for s in sorted(set(seeds)))
+    n_seeds = len(set(seeds))
+    e_s = f"CASE WHEN vid IN ({seed_list}) THEN 1.0 / {n_seeds} ELSE 0.0 END"
+    parts = [
+        EDGES_CTE,
+        SYM_CTE,
+        VERTS_CTE,
+        "odeg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS outdeg FROM sym GROUP BY src)",
+        f"p0 AS (SELECT vid, {e_s} AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT v.vid,
+         (1.0 - {d}) * ({e_s.replace('vid', 'v.vid')})
+         + coalesce(f.flow, 0.0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT s.dst AS vid, {d} * sum(r.rank / o.outdeg) AS flow
+    FROM sym s JOIN p{i - 1} r ON s.src = r.vid JOIN odeg o ON s.src = o.vid
+    GROUP BY s.dst
+  ) f ON v.vid = f.vid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(rank, 6) AS rank FROM p{iters}"
+    )

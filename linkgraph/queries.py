@@ -620,3 +620,14 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.walks import node2vec_walks
 
     return node2vec_walks(edges_from_lineitem(spark, sf_dir), walk_len=3)
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seed vertices {1, 2} over the
+    co-occurrence graph (seed-expansion ranking)."""
+    from linkgraph.algos.pagerank import pagerank_personalized
+
+    r = pagerank_personalized(
+        edges_from_lineitem(spark, sf_dir), seeds=[1, 2], iterations=PR_ITERS
+    )
+    return r.select("vid", F.round("rank", 6).alias("rank"))

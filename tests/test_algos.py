@@ -615,3 +615,31 @@ def test_pagerank_weighted_matches_numpy(spark):
         for row in pagerank_weighted(wdf, iterations=5).collect()
     }
     assert np.allclose([got[i] for i in range(n)], r, atol=1e-9)
+
+
+def test_pagerank_personalized_matches_numpy(spark, edges_df):
+    """PPR equals dense numpy iteration r ← (1−d)·e_S + d·PᵀR from
+    r₀ = e_S; mass concentrates near the seed."""
+    import numpy as np
+
+    from linkgraph.algos.pagerank import pagerank_personalized
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (1, 3)]
+    n = 6
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = A[v, u] = 1
+    P = A / A.sum(axis=1, keepdims=True)
+    e_s = np.zeros(n)
+    e_s[0] = 1.0
+    r = e_s.copy()
+    for _ in range(5):
+        r = 0.15 * e_s + 0.85 * (P.T @ r)
+    got = {
+        row["vid"]: row["rank"]
+        for row in pagerank_personalized(
+            edges_df(edges), seeds=[0], iterations=5
+        ).collect()
+    }
+    assert np.allclose([got[i] for i in range(n)], r, atol=1e-9)
+    assert got[0] == max(got.values())  # seed holds the most mass
