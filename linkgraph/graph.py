@@ -209,7 +209,11 @@ def directed_edges_from_lineitem(
         "l_linenumber",
         F.col("l_partkey").cast("long").alias("pk"),
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # l_linenumber is NOT unique within an order in this corpus —
+    # tie-break by partkey so the successor sequence is a total order
+    # (identical across engines; verified: linenumber-only ordering
+    # diverges between Spark and DuckDB at sf0.01)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "pk")
     nxt = li.withColumn("nxt", F.lead("pk").over(w)).where(
         F.col("nxt").isNotNull() & (F.col("nxt") != F.col("pk"))
     )

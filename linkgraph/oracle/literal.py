@@ -724,7 +724,8 @@ def _directed_lineitem_edges(
         f"""SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
           SELECT l_partkey,
                  lead(l_partkey) OVER (
-                   PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey) AS nxt
           FROM read_parquet('{sf_dir}/lineitem.parquet'))
         WHERE nxt IS NOT NULL AND nxt != l_partkey"""
     ).fetchall()
