@@ -1,0 +1,115 @@
+"""Physical-plan audit — re-checks the PLANS.md claims mechanically.
+
+Asserts the load-bearing plan properties (map-side partial
+aggregation, broadcast joins where intended, scan pruning, pre-filter
+placement) on a live session at sf0.001. Exit 1 on any failed check.
+
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        "plan-audit",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    checks: list[tuple[str, bool]] = []
+
+    # domain_cap: scan pruned to (doc_id, source); ranking window fed
+    # by the histogram-threshold pre-filter join
+    from linkgraph.pipeline.queries import q_domain_cap
+
+    p = plan(q_domain_cap(spark, SF))
+    read = p.split("ReadSchema")[1][:200] if "ReadSchema" in p else ""
+    checks.append(("domain_cap scan prunes text col", "text" not in read))
+    checks.append(("domain_cap window present", "Window" in p))
+
+    # random_walks step: partial min_by (hub fan-out collapses map-side)
+    from linkgraph.algos.walks import random_walks
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    plans: list[str] = []
+    random_walks(e, walk_len=1, step_plans=plans)
+    checks.append(("random_walks partial_min_by", "partial_min_by" in plans[0]))
+
+    # PageRank-family superstep: partial_sum before the shuffle
+    from linkgraph.graph import edges_from_lineitem, symmetrize
+
+    sym = symmetrize(edges_from_lineitem(spark, SF))
+    ranks = sym.select(F.col("src").alias("vid")).distinct().withColumn(
+        "rank", F.lit(0.1)
+    )
+    msgs = sym.join(ranks, sym["src"] == ranks["vid"]).select(
+        F.col("dst").alias("vid"), F.col("rank").alias("c")
+    )
+    checks.append(
+        ("PR superstep partial_sum", "partial_sum" in plan(
+            msgs.groupBy("vid").agg(F.sum("c"))
+        ))
+    )
+
+    # clustering: degree lookup broadcast (never shuffles the edges)
+    from linkgraph.algos.clustering import clustering_coefficients
+
+    checks.append(
+        ("clustering BroadcastHashJoin", "BroadcastHashJoin" in plan(
+            clustering_coefficients(edges_from_lineitem(spark, SF))
+        ))
+    )
+
+    # SCC propagation: partial_min on the label aggregate
+    from linkgraph.graph import directed_edges_from_lineitem
+
+    de = directed_edges_from_lineitem(spark, SF)
+    col = (
+        de.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn("color", F.col("vid"))
+    )
+    msg = de.join(col, de["src"] == col["vid"]).select(
+        F.col("dst").alias("vid"), "color"
+    )
+    checks.append(
+        ("SCC partial_min", "partial_min" in plan(
+            msg.groupBy("vid").agg(F.min("color"))
+        ))
+    )
+
+    # degree_topk: TakeOrderedAndProject, not a global sort
+    from linkgraph.queries import q_degree_topk
+
+    checks.append(
+        ("degree_topk TakeOrdered", "TakeOrderedAndProject" in plan(
+            q_degree_topk(spark, SF)
+        ))
+    )
+
+    failed = [name for name, ok in checks if not ok]
+    for name, ok in checks:
+        print(("  OK " if ok else "FAIL ") + name)
+    print("FAILURES:", len(failed))
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
