@@ -180,11 +180,14 @@ def pagerank_weighted(
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
+    # cache the symmetrized input: outw, the links join and verts all
+    # scan it, and the upstream wedges derivation (an events
+    # self-join) is expensive — without this it re-executes ~3×
     sym = wedges.select("src", "dst", "weight").unionByName(
         wedges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
-    )
+    ).cache()
     outw = sym.groupBy("src").agg(F.sum("weight").alias("outw"))
     links = sym.join(outw, "src").select("src", "dst", "weight", "outw").cache()
     verts = sym.select(F.col("src").alias("vid")).distinct().cache()
@@ -220,14 +223,18 @@ def pagerank_personalized(
     emitted (full vertex set, like the uniform PR). Same superstep
     budget as ``pagerank``: one shuffle join + one partial-aggregated
     sum per iteration. Returns ``DataFrame[vid, rank]``."""
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import symmetrize
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
-    sym = symmetrize(edges)
+    # cache sym: out_deg + the links join both scan it and the edge
+    # derivation upstream may be an expensive self-join
+    sym = symmetrize(edges).cache()
     out_deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
     links = sym.join(out_deg, "src").select("src", "dst", "outdeg").cache()
-    verts = vertices(edges).cache()
+    # derive verts from the cached sym (symmetric ⇒ every vertex is a
+    # src) instead of re-running the edge derivation
+    verts = sym.select(F.col("src").alias("vid")).distinct().cache()
     seed_set = {int(s) for s in seeds}
     e_s = F.when(
         F.col("vid").isin(sorted(seed_set)), F.lit(1.0 / len(seed_set))

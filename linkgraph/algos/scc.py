@@ -33,12 +33,20 @@ graph property independent of iteration schedule — the driver gate
 checks it against an independent pure-Python Tarjan literal oracle
 (linkgraph/oracle/literal.py::sql_scc).
 
+Each outer round starts with a TRIM pass (classic FW-BW-Trim): a
+vertex with no incoming or no outgoing edge in the remaining graph is
+on no cycle — a singleton SCC peeled with two anti-joins, no
+propagation. Trim is what keeps DAG chains / bowtie periphery from
+costing an outer round per vertex. If ``max_outer`` is still
+exhausted with unsettled vertices the function RAISES rather than
+returning a silently-incomplete labeling.
+
 Scale shape: each propagation round is two shuffle joins (edge
 message + jump) and one partial-aggregated min — the pointer-jumping
 CC superstep budget. Each outer round settles at least every current
-pivot; link graphs settle in 2-4 outer rounds (the giant SCC goes
-first, the DAG-ish remainder is all pivots). All iterated tables roll
-through localCheckpoint.
+pivot plus the trimmed periphery; link graphs settle in 2-4 outer
+rounds (the giant SCC goes first, the DAG-ish remainder trims). All
+iterated tables roll through localCheckpoint.
 """
 
 from __future__ import annotations
@@ -99,6 +107,7 @@ def strongly_connected_components(
     roll_v = RollingCheckpoint()
     roll_c = RollingCheckpoint()
     roll_b = RollingCheckpoint()
+    roll_t = RollingCheckpoint()
     roll_out = RollingCheckpoint()
 
     remaining = roll_e(edges.select("src", "dst").distinct())
@@ -109,6 +118,41 @@ def strongly_connected_components(
     )
     result: DataFrame | None = None
     for _ in range(max_outer):
+        if verts.limit(1).count() == 0:
+            break
+        # -- TRIM: a vertex with no incoming (or no outgoing) edge in
+        # the remaining graph is on no cycle — a singleton SCC. Peel
+        # those cheaply (two anti-joins per pass, no propagation)
+        # before the coloring phases; this is what keeps DAG chains /
+        # bowtie periphery from costing one full outer round per
+        # vertex (classic FW-BW-Trim).
+        for _ in range(3):
+            srcs = remaining.select(F.col("src").alias("vid")).distinct()
+            dsts = remaining.select(F.col("dst").alias("vid")).distinct()
+            obs = Observation()
+            trivial = roll_t(
+                verts.join(srcs, "vid", "left_anti")
+                .unionByName(verts.join(dsts, "vid", "left_anti"))
+                .distinct()
+                .select("vid", F.col("vid").alias("scc"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            if obs.get["n"] == 0:
+                break
+            result = roll_out(
+                trivial
+                if result is None
+                else result.unionByName(trivial)
+            )
+            tv = result.select("vid")  # cumulative settled — anti-join safe
+            verts = roll_v(verts.join(tv, "vid", "left_anti"))
+            remaining = roll_e(
+                remaining.join(
+                    tv.select(F.col("vid").alias("src")), "src", "left_anti"
+                ).join(
+                    tv.select(F.col("vid").alias("dst")), "dst", "left_anti"
+                )
+            )
         if verts.limit(1).count() == 0:
             break
         # -- forward: color = min ancestor ----------------------------
@@ -167,6 +211,17 @@ def strongly_connected_components(
             )
         )
         ce.unpersist()
+    else:
+        # the loop ran out of rounds with work left — NEVER return a
+        # silently-incomplete labeling (code-review finding: on an
+        # adversarial shape one SCC can settle per round)
+        if verts.limit(1).count() != 0:
+            raise RuntimeError(
+                "strongly_connected_components: max_outer="
+                f"{max_outer} exhausted with unsettled vertices — "
+                "raise max_outer (each round peels trim-able "
+                "periphery + every pivot SCC)"
+            )
     if result is None:  # empty edge list
         spark = edges.sparkSession
         return spark.createDataFrame([], "vid long, scc long")

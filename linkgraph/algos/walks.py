@@ -39,6 +39,7 @@ def random_walks(
     plan string before checkpointing — the evidence that the argmin
     partially aggregates map-side."""
     from linkgraph.graph import symmetrize, vertices
+    from linkgraph.hashing import md5_prefix_hash
     from linkgraph.rolling import RollingCheckpoint
 
     # two rollers: the frontier's old generations are freed as the walk
@@ -55,22 +56,7 @@ def random_walks(
     for s in range(1, walk_len + 1):
         nxt = (
             cur.join(sym, cur["vid"] == sym["src"])
-            .withColumn(
-                "h",
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":", "src", F.lit(s), "dst", F.lit(seed)
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
+            .withColumn("h", md5_prefix_hash("src", s, "dst", seed))
             # argmin over (h, dst) as a partial-aggregating min_by —
             # identical winner to the former row_number window, but a
             # hub's fan-out collapses map-side instead of serializing
@@ -94,19 +80,9 @@ def random_walks(
 def _step_hash(v_col, s: int, u_col, j, seed: int):
     """Engine-portable ticket hash int(md5(f"{v}:{s}:{u}:{j}:{seed}")
     [:8], 16) — one independent lottery ticket per unit of weight."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", v_col, F.lit(s), u_col, F.lit(j), F.lit(seed)
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from linkgraph.hashing import md5_prefix_hash
+
+    return md5_prefix_hash(v_col, s, u_col, j, seed)
 
 
 def node2vec_walks(

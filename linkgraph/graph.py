@@ -217,13 +217,9 @@ def directed_edges_from_lineitem(
     nxt = li.withColumn("nxt", F.lead("pk").over(w)).where(
         F.col("nxt").isNotNull() & (F.col("nxt") != F.col("pk"))
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", "pk", "nxt", F.lit("scc"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    from linkgraph.hashing import md5_prefix_hash
+
+    h = md5_prefix_hash("pk", "nxt", F.lit("scc"))
     return (
         nxt.where(
             (F.col("pk") < F.col("nxt"))

@@ -120,19 +120,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _warm_snapshot_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Deterministic snapshot location under the session's warehouse
+    dir, keyed by dataset — OVERWRITTEN on every run (bounded disk, no
+    per-run tempdir leak) and on shared storage in a real deployment
+    (the warehouse dir is cluster-visible there, unlike /tmp)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{wh}/lg_warm_snapshots/{tag}_{name}"
+
+
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-resume PageRank: 2 cold supersteps → parquet snapshot
     → resume +(PR_ITERS−2) warm via ``init_ranks``. The composition is
     bit-for-bit the cold PR_ITERS run (the superstep is memoryless
     given the rank vector), so it shares the pagerank SQL oracle —
     the driver-gated evidence for the incremental/warm-restart path."""
-    import tempfile
-
     from linkgraph.algos.pagerank import pagerank
 
     e = edges_from_lineitem(spark, sf_dir)
     cold = pagerank(e, iterations=2, directed=False)
-    snap = tempfile.mkdtemp(prefix="lg_warm_pr_") + "/ranks"
+    snap = _warm_snapshot_path(spark, sf_dir, "pr_ranks")
     cold.write.mode("overwrite").parquet(snap)
     warm = pagerank(
         e,
@@ -155,13 +163,11 @@ def q_components_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     resume +(CC_ITERS−4) warm via ``init_labels``. Integer min rounds
     compose exactly (warm round r ≡ cold round 4+r), so it shares the
     components SQL oracle."""
-    import tempfile
-
     from linkgraph.algos.cc import connected_components
 
     e = edges_from_lineitem(spark, sf_dir)
     cold = connected_components(e, fixed_iterations=4)
-    snap = tempfile.mkdtemp(prefix="lg_warm_cc_") + "/labels"
+    snap = _warm_snapshot_path(spark, sf_dir, "cc_labels")
     cold.write.mode("overwrite").parquet(snap)
     return connected_components(
         e,

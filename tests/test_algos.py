@@ -643,3 +643,25 @@ def test_pagerank_personalized_matches_numpy(spark, edges_df):
     }
     assert np.allclose([got[i] for i in range(n)], r, atol=1e-9)
     assert got[0] == max(got.values())  # seed holds the most mass
+
+
+def test_scc_dag_chain_trims_and_raises_on_exhaustion(spark, edges_df):
+    """Code-review regression: an increasing-vid chain (pure DAG) used
+    to settle ONE vertex per outer round and silently truncate. The
+    trim pass now peels the periphery (whole chain labeled in a few
+    rounds), and exhausting max_outer RAISES instead of returning an
+    incomplete labeling."""
+    import pytest as _pytest
+
+    from linkgraph.algos.scc import strongly_connected_components
+
+    n = 40
+    chain = edges_df([(i, i + 1) for i in range(n - 1)])
+    got = {
+        r["vid"]: r["scc"]
+        for r in strongly_connected_components(chain, max_outer=8).collect()
+    }
+    assert got == {i: i for i in range(n)}  # all singletons, complete
+    with _pytest.raises(RuntimeError, match="max_outer"):
+        # 0 outer rounds with a non-empty graph must fail loudly
+        strongly_connected_components(chain, max_outer=0).collect()
