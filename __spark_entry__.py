@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q.q_scc,
         "node2vec_walks": q.q_node2vec_walks,
         "pagerank_personalized": q.q_pagerank_personalized,
+        "jaccard_topk": q.q_jaccard_topk,
+        "graph_summary": q.q_graph_summary,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "scc": lo.sql_scc(),
         "node2vec_walks": o.sql_node2vec(),
         "pagerank_personalized": o.sql_pagerank_personalized(),
+        "jaccard_topk": o.sql_jaccard(),
+        "graph_summary": o.sql_graph_summary(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -109,3 +109,55 @@ def negative_samples(
         .where(F.col("rnk") <= n_neg)
         .select("u", "neg_vid", "rnk")
     )
+
+
+def jaccard_topk(
+    edges: DataFrame,
+    top: int = 20,
+    max_center_degree: int = 10_000,
+) -> DataFrame:
+    """Jaccard link prediction → ``DataFrame[u, w, jaccard]`` — the
+    ``top`` highest-scoring non-adjacent pairs (u < w) by
+    |N(u) ∩ N(w)| / |N(u) ∪ N(w)|. Same wedge enumeration and
+    hub-center cap as ``adamic_adar_topk`` (a capped center cannot
+    contribute its common-neighbor count — at the default cap that
+    center would add ≤ 1/10_000 of a unit of Jaccard mass per pair
+    while costing deg² wedge rows; the SQL oracle applies the same
+    cap, so the gate pins the capped semantics exactly)."""
+    from linkgraph.graph import degrees, symmetrize
+
+    sym = symmetrize(edges)
+    deg = degrees(edges)
+    ctr = deg.where(
+        (F.col("degree") >= 2) & (F.col("degree") <= max_center_degree)
+    )
+    za = sym.join(ctr, sym["src"] == ctr["vid"]).select(
+        F.col("src").alias("z"), F.col("dst").alias("u")
+    )
+    a = za.alias("a")
+    b = za.select(F.col("z"), F.col("u").alias("w")).alias("b")
+    wedge = a.join(b, "z").where(F.col("a.u") < F.col("b.w")).select(
+        "a.u", "b.w"
+    )
+    cand = wedge.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    common = cand.groupBy("u", "w").agg(F.count("*").alias("common"))
+    du = deg.select(F.col("vid").alias("u"), F.col("degree").alias("du"))
+    dw = deg.select(F.col("vid").alias("w"), F.col("degree").alias("dw"))
+    scored = (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            F.round(
+                F.col("common")
+                / (F.col("du") + F.col("dw") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("w")).limit(top)

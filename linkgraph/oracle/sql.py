@@ -580,3 +580,39 @@ def sql_pagerank_personalized(
         + ",\n".join(parts)
         + f"\nSELECT vid, round(rank, 6) AS rank FROM p{iters}"
     )
+
+
+def sql_jaccard(top: int = 20, cap: int = 10000) -> str:
+    """Mirror of linkgraph.algos.linkpred.jaccard_topk (same wedge
+    machinery and hub-center cap as sql_adamic_adar)."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {DEG_CTE},
+ctr AS MATERIALIZED (
+  SELECT vid FROM deg WHERE degree >= 2 AND degree <= {cap}
+),
+za AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS u FROM sym s JOIN ctr c ON s.src = c.vid
+),
+wedge AS MATERIALIZED (
+  SELECT a.u AS u, b.u AS w FROM za a JOIN za b ON a.z = b.z AND a.u < b.u
+),
+cand AS MATERIALIZED (
+  SELECT wg.u, wg.w FROM wedge wg
+  LEFT JOIN e ON wg.u = e.src AND wg.w = e.dst
+  WHERE e.src IS NULL
+),
+cm AS (SELECT u, w, count(*) AS common FROM cand GROUP BY u, w)
+SELECT cm.u, cm.w,
+       round(CAST(cm.common AS DOUBLE) / (du.degree + dw.degree - cm.common), 6) AS jaccard
+FROM cm JOIN deg du ON cm.u = du.vid JOIN deg dw ON cm.w = dw.vid
+ORDER BY jaccard DESC, cm.u ASC, cm.w ASC LIMIT {top}"""
+
+
+def sql_graph_summary() -> str:
+    return f"""WITH {EDGES_CTE}, {DEG_CTE},
+m AS (SELECT count(*) AS m_edges FROM e)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST((SELECT m_edges FROM m) AS BIGINT) AS m_edges,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       round(avg(degree), 6) AS avg_degree
+FROM deg"""

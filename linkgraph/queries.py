@@ -637,3 +637,26 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_from_lineitem(spark, sf_dir), seeds=[1, 2], iterations=PR_ITERS
     )
     return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard common-neighbor link prediction (top 20 non-adjacent
+    pairs) over the co-occurrence graph."""
+    from linkgraph.algos.linkpred import jaccard_topk
+
+    return jaccard_topk(edges_from_lineitem(spark, sf_dir), top=20)
+
+
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph census — the metrics log line every run starts
+    with: vertex/edge counts, degree extremes, mean degree."""
+    e = edges_from_lineitem(spark, sf_dir)
+    deg = degrees(e)
+    m = e.count()
+    return deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.lit(m).cast("long").alias("m_edges"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+    )

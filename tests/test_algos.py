@@ -665,3 +665,13 @@ def test_scc_dag_chain_trims_and_raises_on_exhaustion(spark, edges_df):
     with _pytest.raises(RuntimeError, match="max_outer"):
         # 0 outer rounds with a non-empty graph must fail loudly
         strongly_connected_components(chain, max_outer=0).collect()
+
+
+def test_jaccard_topk_hand_computed(spark, edges_df):
+    """Square 0-1-2-3 (cycle): diagonal pairs (0,2) and (1,3) share
+    both neighbors → Jaccard 2/2 = 1.0; adjacent pairs are excluded."""
+    from linkgraph.algos.linkpred import jaccard_topk
+
+    e = edges_df([(0, 1), (1, 2), (2, 3), (0, 3)])
+    got = {(r["u"], r["w"]): r["jaccard"] for r in jaccard_topk(e).collect()}
+    assert got == {(0, 2): 1.0, (1, 3): 1.0}
