@@ -203,3 +203,56 @@ def run_dedup_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+    ]
+)
+
+
+def read_edge_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based edge feed (parquet drops of (src, dst) batches) —
+    the incremental-ingestion entry the offstream partitioners and
+    warm-start analytics consume downstream."""
+    return (
+        spark.readStream.schema(EDGES_SCHEMA).format("parquet").load(path)
+    )
+
+
+def degree_stream(edges: DataFrame) -> DataFrame:
+    """Streaming twin of ``linkgraph.graph.degrees``: a continuously-
+    maintained degree table over an arriving edge feed — the
+    ingest-time degree maintenance the reference performs in its
+    loader (base_graph.cpp:66-90 builds degrees while reading the
+    edge file), re-expressed as a streaming aggregate. Each
+    micro-batch partial-aggregates map-side and folds into the keyed
+    count state; at corpus scale the state is |V| longs sharded by
+    vid across executors — the same footprint the batch degree table
+    has. Self-loops are excluded (batch contract)."""
+    clean = edges.where(F.col("src") != F.col("dst"))
+    sym = clean.select(F.col("src").alias("vid")).unionByName(
+        clean.select(F.col("dst").alias("vid"))
+    )
+    return sym.groupBy("vid").agg(F.count("*").cast("long").alias("degree"))
+
+
+def run_degree_stream_to_memory(
+    spark: SparkSession, src_path: str, query_name: str = "degrees_stream"
+) -> DataFrame:
+    """Drive the streaming degree maintenance synchronously (test/demo
+    path): read edge drops → incremental counts → memory sink."""
+    out = degree_stream(read_edge_stream(spark, src_path))
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -214,3 +214,56 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         assert got == keepers
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_degrees_match_batch_across_batches(spark, tmp_path):
+    """Incremental degree maintenance: edges arrive in two drops; the
+    maintained table after each drain equals the batch ``degrees`` of
+    everything seen so far (the ingest-time degree story, streaming)."""
+    from linkgraph.graph import degrees
+    from linkgraph.streaming import degree_stream, read_edge_stream
+
+    src = str(tmp_path / "edges_in")
+    batch1 = [(0, 1), (1, 2), (2, 3), (3, 3)]  # (3,3) self-loop dropped
+    batch2 = [(0, 2), (4, 5), (1, 2)]  # parallel (1,2) counts again
+    spark.createDataFrame(batch1, "src long, dst long").repartition(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    out = degree_stream(read_edge_stream(spark, src))
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_deg")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r["vid"]: r["degree"]
+            for r in spark.sql("SELECT * FROM t_deg").collect()
+        }
+        e1 = spark.createDataFrame(
+            [e for e in batch1 if e[0] != e[1]], "src long, dst long"
+        )
+        b1 = {r["vid"]: r["degree"] for r in degrees(e1).collect()}
+        assert got1 == b1
+
+        spark.createDataFrame(batch2, "src long, dst long").repartition(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = {
+            r["vid"]: r["degree"]
+            for r in spark.sql("SELECT * FROM t_deg").collect()
+        }
+    finally:
+        q.stop()
+    all_edges = spark.createDataFrame(
+        [e for e in batch1 + batch2 if e[0] != e[1]], "src long, dst long"
+    )
+    b2 = {r["vid"]: r["degree"] for r in degrees(all_edges).collect()}
+    assert got2 == b2
+    # vertex 2 appears in (1,2), (2,3), (0,2), (1,2) — the parallel
+    # (1,2) counts per occurrence, matching the batch contract
+    assert got2[2] == 4
