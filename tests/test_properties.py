@@ -138,3 +138,28 @@ def test_k_core_fixpoint_properties(spark, edges_df, edges):
         assert cd == in_core and cd >= k
     for v in adj.keys() - core.keys():
         assert len(adj[v] & core.keys()) < k
+
+
+directed_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12))
+    .filter(lambda t: t[0] != t[1]),
+    min_size=2,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(edges=directed_edge_lists)
+@SET
+def test_scc_matches_tarjan_on_random_digraphs(spark, edges_df, edges):
+    """Distributed coloring SCC ≡ Tarjan on arbitrary small digraphs —
+    cycles, DAG chains, self-feeding bowties, whatever hypothesis
+    finds (the two algorithms share no code)."""
+    from linkgraph.algos.scc import strongly_connected_components
+    from linkgraph.oracle.literal import _tarjan_scc
+
+    got = {
+        r["vid"]: r["scc"]
+        for r in strongly_connected_components(edges_df(edges)).collect()
+    }
+    assert got == _tarjan_scc(edges)
