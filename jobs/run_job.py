@@ -5,7 +5,8 @@
         jobs/run_job.py --job pagerank --sf-dir /root/testdata/sf0.01 \\
         --checkpoint-dir /tmp/lg-ckpt --run-id demo --iterations 10
 
-Jobs: pagerank | cc | lpa | triangles | partition | extract | metrics.
+Jobs: pagerank | cc | lpa | triangles | partition | extract |
+metrics | scc | bfs | kcore | walks | node2vec | clustering.
 All iterative jobs checkpoint per superstep and resume from the last
 complete snapshot when re-launched with the same --run-id.
 """
@@ -24,7 +25,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles",
-                             "partition", "metrics", "extract"])
+                             "partition", "metrics", "extract",
+                             "scc", "bfs", "kcore", "walks",
+                             "node2vec", "clustering"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--checkpoint-dir", default="/tmp/linkgraph-ckpt")
     ap.add_argument("--run-id", default="run0")
@@ -83,6 +86,34 @@ def main() -> None:
 
         files, _ = source_repo_table(spark, shape="powerlaw_ba", n=500, m=3)
         out = extract_edges(files)
+    elif args.job == "scc":
+        from linkgraph.algos.scc import strongly_connected_components
+        from linkgraph.graph import directed_edges_from_lineitem
+
+        out = strongly_connected_components(
+            directed_edges_from_lineitem(spark, args.sf_dir)
+        )
+    elif args.job == "bfs":
+        from linkgraph.algos.bfs import bfs_distances
+
+        out = bfs_distances(edges, sources=[1, 2],
+                            max_iterations=args.iterations)
+    elif args.job == "kcore":
+        from linkgraph.algos.kcore import k_core
+
+        out = k_core(edges, k=8, max_iterations=args.iterations)
+    elif args.job == "walks":
+        from linkgraph.algos.walks import random_walks
+
+        out = random_walks(edges, walk_len=min(args.iterations, 8))
+    elif args.job == "node2vec":
+        from linkgraph.algos.walks import node2vec_walks
+
+        out = node2vec_walks(edges, walk_len=min(args.iterations, 8))
+    elif args.job == "clustering":
+        from linkgraph.algos.clustering import clustering_coefficients
+
+        out = clustering_coefficients(edges)
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
