@@ -32,8 +32,9 @@ _HV = "(('0x' || substr(md5({col}), 1, 8))::BIGINT)"
 
 
 def sql_token_counts() -> str:
-    return """SELECT doc_id,
+    return r"""SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS BIGINT) AS n_chars_measured
 FROM documents"""
 

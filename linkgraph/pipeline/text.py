@@ -38,9 +38,17 @@ def tokens(docs: DataFrame) -> DataFrame:
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish pre-tokenizer count
+    (words-or-single-punctuation runs, the GPT-2 pre-tokenizer's
+    coarse shape — ``\\w+|[^\\w\\s]`` is Java/RE2/DuckDB-portable on
+    this ASCII corpus) + measured chars. Both counts are JVM regex
+    column expressions — no UDF."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
     )
 
