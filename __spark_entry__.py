@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q.q_pagerank_personalized,
         "jaccard_topk": q.q_jaccard_topk,
         "graph_summary": q.q_graph_summary,
+        "vertex_strength": q.q_vertex_strength,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": o.sql_pagerank_personalized(),
         "jaccard_topk": o.sql_jaccard(),
         "graph_summary": o.sql_graph_summary(),
+        "vertex_strength": o.sql_vertex_strength(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

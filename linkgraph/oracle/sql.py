@@ -616,3 +616,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_vertices,
        CAST(min(degree) AS BIGINT) AS min_degree,
        round(avg(degree), 6) AS avg_degree
 FROM deg"""
+
+
+def sql_vertex_strength() -> str:
+    return f"""WITH {EVENTS_WEDGES_CTE},
+wsym AS (SELECT src, dst, weight FROM we UNION ALL SELECT dst, src, weight FROM we)
+SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree,
+       CAST(sum(weight) AS BIGINT) AS strength
+FROM wsym GROUP BY src"""

@@ -660,3 +660,20 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("degree").cast("long").alias("min_degree"),
         F.round(F.avg("degree"), 6).alias("avg_degree"),
     )
+
+
+def q_vertex_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted degree (strength) table over the weighted interaction
+    graph — degree + Σ incident weight per vertex, the weighted twin
+    of ``degrees`` (one partial-aggregated groupBy over the
+    symmetrized weighted edges)."""
+    we = weighted_edges_from_events(spark, sf_dir)
+    sym = we.unionByName(
+        we.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("long").alias("degree"),
+        F.sum("weight").cast("long").alias("strength"),
+    )
