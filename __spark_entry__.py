@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_topk": q.q_jaccard_topk,
         "graph_summary": q.q_graph_summary,
         "vertex_strength": q.q_vertex_strength,
+        "label_propagation_weighted": q.q_label_propagation_weighted,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_topk": o.sql_jaccard(),
         "graph_summary": o.sql_graph_summary(),
         "vertex_strength": o.sql_vertex_strength(),
+        "label_propagation_weighted": o.sql_label_propagation_weighted(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

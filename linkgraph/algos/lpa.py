@@ -48,3 +48,46 @@ def label_propagation(
             new_labels = roll(new_labels)
         labels = new_labels
     return labels.select("vid", "label")
+
+
+def label_propagation_weighted(
+    wedges: DataFrame, iterations: int = 4, checkpoint_every: int = 1
+) -> DataFrame:
+    """Weighted label propagation over ``DataFrame[src, dst, weight]``
+    (src < dst): each round a vertex adopts the label with the largest
+    summed incident edge weight among its neighbors; ties break to the
+    minimum label (deterministic — integer weight sums, no float
+    order sensitivity). Same execution shape as the unweighted LPA:
+    partial-aggregated (vid, label) weight sums, then an argmax window
+    over the aggregated counts (group size ≤ #distinct neighbor
+    labels). Returns ``DataFrame[vid, label]``."""
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
+    sym = wedges.select("src", "dst", "weight").unionByName(
+        wedges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    ).cache()
+    labels = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn("label", F.col("vid"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("wsum"), F.asc("label"))
+    for i in range(iterations):
+        votes = (
+            sym.join(labels, sym["src"] == labels["vid"])
+            .select(F.col("dst").alias("vid"), "label", "weight")
+            .groupBy("vid", "label")
+            .agg(F.sum("weight").cast("long").alias("wsum"))
+        )
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_labels = roll(new_labels)
+        labels = new_labels
+    return labels.select("vid", "label")

@@ -624,3 +624,28 @@ wsym AS (SELECT src, dst, weight FROM we UNION ALL SELECT dst, src, weight FROM 
 SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree,
        CAST(sum(weight) AS BIGINT) AS strength
 FROM wsym GROUP BY src"""
+
+
+def sql_label_propagation_weighted(iters: int = 4) -> str:
+    """Mirror of linkgraph.algos.lpa.label_propagation_weighted."""
+    parts = [
+        EVENTS_WEDGES_CTE,
+        "wsym AS MATERIALIZED (SELECT src, dst, weight FROM we UNION ALL SELECT dst, src, weight FROM we)",
+        "wverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM wsym)",
+        "wl0 AS (SELECT vid, vid AS label FROM wverts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""wl{i} AS MATERIALIZED (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           row_number() OVER (PARTITION BY vid ORDER BY wsum DESC, label ASC) AS rn
+    FROM (
+      SELECT s.dst AS vid, l.label, CAST(sum(s.weight) AS BIGINT) AS wsum
+      FROM wsym s JOIN wl{i - 1} l ON s.src = l.vid
+      GROUP BY s.dst, l.label
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM wl{iters}"

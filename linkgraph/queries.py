@@ -677,3 +677,13 @@ def q_vertex_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("degree"),
         F.sum("weight").cast("long").alias("strength"),
     )
+
+
+def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted LPA over the events interaction graph (votes weighted
+    by co-action counts)."""
+    from linkgraph.algos.lpa import label_propagation_weighted
+
+    return label_propagation_weighted(
+        weighted_edges_from_events(spark, sf_dir), iterations=LPA_ITERS
+    )

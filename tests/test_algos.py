@@ -675,3 +675,21 @@ def test_jaccard_topk_hand_computed(spark, edges_df):
     e = edges_df([(0, 1), (1, 2), (2, 3), (0, 3)])
     got = {(r["u"], r["w"]): r["jaccard"] for r in jaccard_topk(e).collect()}
     assert got == {(0, 2): 1.0, (1, 3): 1.0}
+
+
+def test_label_propagation_weighted_prefers_heavy_edge(spark):
+    """Vertex 2 has neighbors 0 (weight 5) and 1 (weight 1): after one
+    round its label follows the HEAVY edge even though plain LPA would
+    tie-break to min label; integer weight sums keep it exact."""
+    from linkgraph.algos.lpa import label_propagation_weighted
+
+    wdf = spark.createDataFrame(
+        [(0, 2, 5), (1, 2, 1), (0, 1, 1)], "src long, dst long, weight long"
+    )
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation_weighted(wdf, iterations=1).collect()
+    }
+    assert got[2] == 0  # weight-5 vote beats weight-1 vote
+    assert got[1] == 0  # 0's vote (1) ties 2's vote (1) → min label 0
+    assert got[0] == 2  # neighbor 2 votes with weight 5, neighbor 1 with 1
