@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q.q_graph_summary,
         "vertex_strength": q.q_vertex_strength,
         "label_propagation_weighted": q.q_label_propagation_weighted,
+        "hits": q.q_hits,
+        "harmonic_centrality": q.q_harmonic_centrality,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -186,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_summary": o.sql_graph_summary(),
         "vertex_strength": o.sql_vertex_strength(),
         "label_propagation_weighted": o.sql_label_propagation_weighted(),
+        "hits": o.sql_hits(),
+        "harmonic_centrality": o.sql_harmonic_centrality(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

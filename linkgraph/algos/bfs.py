@@ -25,6 +25,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: list[int],
+    fixed_iterations: int = 8,
+) -> DataFrame:
+    """Per-landmark BFS distances — ``DataFrame[lm, vid, dist]`` with
+    one row per (landmark, reachable vertex). Unlike
+    ``bfs_distances`` (which folds all sources into one min), the
+    state is keyed by (lm, vid), so all |landmarks| BFS trees advance
+    in ONE batched superstep loop: per round one join + one
+    partial-aggregated min, fan-out bounded by |frontier| summed over
+    landmarks — the standard landmark/sketch substrate (harmonic /
+    closeness centrality estimates, Bourgain embeddings) at 100 TB,
+    where per-landmark sequential sweeps would multiply the superstep
+    count by |landmarks|."""
+    from linkgraph.graph import symmetrize
+    from linkgraph.rolling import RollingCheckpoint
+
+    spark = edges.sparkSession
+    roll = RollingCheckpoint()
+    roll_f = RollingCheckpoint()
+    sym = symmetrize(edges).cache()
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in landmarks], "lm long, vid long, dist long"
+    )
+    frontier = dist
+    for _ in range(fixed_iterations):
+        nbr = sym.join(frontier, sym["src"] == frontier["vid"]).select(
+            "lm", F.col("dst").alias("vid"), (F.col("dist") + 1).alias("dist")
+        )
+        cand = nbr.groupBy("lm", "vid").agg(F.min("dist").alias("dist"))
+        frontier = roll_f(
+            cand.join(
+                dist.select("lm", "vid", F.col("dist").alias("_old")),
+                ["lm", "vid"],
+                "left",
+            )
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("lm", "vid", "dist")
+        )
+        dist = roll(
+            frontier.unionByName(dist)
+            .groupBy("lm", "vid")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: list[int],
+    fixed_iterations: int = 8,
+) -> DataFrame:
+    """Landmark-estimated harmonic centrality: C_H(v) = Σ_{s∈L, v≠s}
+    1/d(s, v) over the landmark set (the standard sampled estimator —
+    exact harmonic centrality is all-pairs and off the table at any
+    scale). Exact integer distances feed a 6-decimal-rounded float
+    sum, so the unrolled-CTE oracle matches."""
+    d = landmark_distances(edges, landmarks, fixed_iterations)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"))
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: list[int],

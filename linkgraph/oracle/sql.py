@@ -649,3 +649,82 @@ def sql_label_propagation_weighted(iters: int = 4) -> str:
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM wl{iters}"
+
+
+# directed order-sequence graph (mirror of
+# linkgraph.graph.directed_edges_from_lineitem, back_mod=64) ------------
+
+DIRECTED_CTE = """dn AS (
+  SELECT pk, lead(pk) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, pk) AS nxt
+  FROM (SELECT l_orderkey, l_linenumber, CAST(l_partkey AS BIGINT) AS pk FROM lineitem)
+),
+de AS MATERIALIZED (
+  SELECT DISTINCT pk AS src, nxt AS dst FROM dn
+  WHERE nxt IS NOT NULL AND nxt <> pk
+    AND (pk < nxt
+         OR (('0x' || substr(md5(CAST(pk AS VARCHAR) || ':' || CAST(nxt AS VARCHAR) || ':scc'), 1, 8))::BIGINT % 64) = 0)
+)"""
+
+
+def sql_harmonic_centrality(landmarks=(1, 2, 3, 5), iters: int = 8) -> str:
+    """Mirror of linkgraph.algos.bfs.harmonic_centrality: unrolled
+    keyed landmark BFS (integer min — exact), then the 1/d sum rounded
+    to 6 decimals on both sides."""
+    lm_vals = ", ".join(f"({s}, {s}, 0)" for s in landmarks)
+    parts = [EDGES_CTE, SYM_CTE,
+             f"hd0(lm, vid, dist) AS MATERIALIZED (VALUES {lm_vals})"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""hd{i} AS MATERIALIZED (
+  SELECT lm, vid, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT b.lm, s.dst AS vid, b.dist + 1 AS dist
+    FROM hd{i-1} b JOIN sym s ON b.vid = s.src
+    UNION ALL
+    SELECT lm, vid, dist FROM hd{i-1}
+  ) GROUP BY lm, vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT vid, round(sum(1.0 / dist), 6) AS harmonic
+FROM hd{iters} WHERE dist > 0 GROUP BY vid"""
+    )
+
+
+def sql_hits(iters: int = PR_ITERS) -> str:
+    """Mirror of linkgraph.algos.hits.hits over the directed
+    order-sequence graph: per half-step join + sum + L1
+    normalization, zeros restored over the vertex set at the end."""
+    parts = [
+        DIRECTED_CTE,
+        "hv AS MATERIALIZED (SELECT src AS vid FROM de UNION SELECT dst FROM de)",
+        "hh0 AS (SELECT DISTINCT src AS vid, 1.0 AS hub FROM de)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ha{i}r AS MATERIALIZED (
+  SELECT d.dst AS vid, sum(h.hub) AS auth
+  FROM de d JOIN hh{i-1} h ON d.src = h.vid GROUP BY d.dst
+)"""
+        )
+        parts.append(
+            f"ha{i} AS MATERIALIZED (SELECT vid, auth / (SELECT sum(auth) FROM ha{i}r) AS auth FROM ha{i}r)"
+        )
+        parts.append(
+            f"""hh{i}r AS MATERIALIZED (
+  SELECT d.src AS vid, sum(a.auth) AS hub
+  FROM de d JOIN ha{i} a ON d.dst = a.vid GROUP BY d.src
+)"""
+        )
+        parts.append(
+            f"hh{i} AS MATERIALIZED (SELECT vid, hub / (SELECT sum(hub) FROM hh{i}r) AS hub FROM hh{i}r)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT v.vid, round(coalesce(a.auth, 0), 6) AS auth,
+       round(coalesce(h.hub, 0), 6) AS hub
+FROM hv v LEFT JOIN ha{iters} a ON v.vid = a.vid
+LEFT JOIN hh{iters} h ON v.vid = h.vid"""
+    )

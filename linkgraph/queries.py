@@ -567,6 +567,29 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-estimated harmonic centrality (Σ 1/d from 4 fixed
+    landmarks; batched keyed BFS, 8 rounds — unrolled-CTE oracle)."""
+    from linkgraph.algos.bfs import harmonic_centrality
+
+    return harmonic_centrality(
+        edges_from_lineitem(spark, sf_dir),
+        landmarks=[1, 2, 3, 5],
+        fixed_iterations=8,
+    )
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed order-sequence graph
+    (5 L1-normalized iterations; unrolled-CTE oracle)."""
+    from linkgraph.algos.hits import hits
+
+    r = hits(directed_edges_from_lineitem(spark, sf_dir), iterations=PR_ITERS)
+    return r.select(
+        "vid", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def q_dense_vertex_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed deterministic dense numbering (vid → sorted rank);
     the Spark side runs the range-partition + offset enumeration (no

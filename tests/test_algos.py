@@ -693,3 +693,66 @@ def test_label_propagation_weighted_prefers_heavy_edge(spark):
     assert got[2] == 0  # weight-5 vote beats weight-1 vote
     assert got[1] == 0  # 0's vote (1) ties 2's vote (1) → min label 0
     assert got[0] == 2  # neighbor 2 votes with weight 5, neighbor 1 with 1
+
+
+def test_hits_hand_computed(spark, edges_df):
+    """Directed star-in plus chain: numpy power iteration with the
+    same L1 normalization reproduces the distributed HITS exactly
+    (same iteration count, same update order)."""
+    import numpy as np
+
+    from linkgraph.algos.hits import hits
+
+    edges = [(0, 3), (1, 3), (2, 3), (3, 4), (4, 0)]
+    vids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vids)}
+    A = np.zeros((len(vids), len(vids)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    hub = np.ones(len(vids)) * (A.sum(axis=1) > 0)
+    for _ in range(5):
+        auth = A.T @ hub
+        auth = auth / auth.sum()
+        hub = A @ auth
+        hub = hub / hub.sum()
+    got = {
+        r["vid"]: (r["auth"], r["hub"])
+        for r in hits(edges_df(edges), iterations=5).collect()
+    }
+    assert set(got) == set(vids)
+    for v in vids:
+        assert abs(got[v][0] - auth[idx[v]]) < 1e-9, v
+        assert abs(got[v][1] - hub[idx[v]]) < 1e-9, v
+    # the sink-heavy vertex 3 is the top authority; its three
+    # pointers are the top hubs
+    assert max(got, key=lambda v: got[v][0]) == 3
+
+
+def test_harmonic_centrality_hand_computed(spark, edges_df):
+    """Path 0-1-2-3 with landmarks {0, 3}: C_H(1) = 1/1 + 1/2,
+    C_H(0) = 1/3 (only the far landmark counts — no self term)."""
+    from linkgraph.algos.bfs import harmonic_centrality, landmark_distances
+
+    e = edges_df([(0, 1), (1, 2), (2, 3)])
+    got = {
+        r["vid"]: r["harmonic"]
+        for r in harmonic_centrality(e, landmarks=[0, 3]).collect()
+    }
+    assert got == {
+        0: round(1 / 3, 6),
+        1: round(1.0 + 0.5, 6),
+        2: round(1.0 + 0.5, 6),
+        3: round(1 / 3, 6),
+    }
+    # keyed landmark BFS agrees with per-source bfs_distances
+    from linkgraph.algos.bfs import bfs_distances
+
+    ld = {
+        (r["lm"], r["vid"]): r["dist"]
+        for r in landmark_distances(e, landmarks=[0, 3]).collect()
+    }
+    for s in (0, 3):
+        solo = {
+            r["vid"]: r["dist"] for r in bfs_distances(e, sources=[s]).collect()
+        }
+        assert solo == {v: d for (lm, v), d in ld.items() if lm == s}
