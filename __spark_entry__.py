@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_weighted": q.q_label_propagation_weighted,
         "hits": q.q_hits,
         "harmonic_centrality": q.q_harmonic_centrality,
+        "k_truss": q.q_k_truss,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_weighted": o.sql_label_propagation_weighted(),
         "hits": o.sql_hits(),
         "harmonic_centrality": o.sql_harmonic_centrality(),
+        "k_truss": o.sql_k_truss(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -728,3 +728,37 @@ SELECT v.vid, round(coalesce(a.auth, 0), 6) AS auth,
 FROM hv v LEFT JOIN ha{iters} a ON v.vid = a.vid
 LEFT JOIN hh{iters} h ON v.vid = h.vid"""
     )
+
+
+def sql_k_truss(k: int = 10, rounds: int = 10) -> str:
+    """Mirror of linkgraph.algos.truss.k_truss: per round enumerate
+    triangles a<b<c over the surviving canonical edge set (identical
+    to the degree-oriented Spark enumeration — same set, different
+    order), count per-edge support, keep supp >= k-2."""
+    parts = [EDGES_CTE, "ke0 AS MATERIALIZED (SELECT src, dst FROM e)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""kt{i} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ke{p} e1 JOIN ke{p} e2 ON e1.dst = e2.src
+  JOIN ke{p} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)"""
+        )
+        parts.append(
+            f"""ks{i} AS MATERIALIZED (
+  SELECT src, dst, count(*) AS supp FROM (
+    SELECT a AS src, b AS dst FROM kt{i}
+    UNION ALL SELECT a AS src, c AS dst FROM kt{i}
+    UNION ALL SELECT b AS src, c AS dst FROM kt{i}
+  ) GROUP BY src, dst
+)"""
+        )
+        parts.append(
+            f"""ke{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ke{p} e
+  JOIN ks{i} s ON e.src = s.src AND e.dst = s.dst
+  WHERE s.supp >= {k - 2}
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM ke{rounds}"

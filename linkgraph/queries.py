@@ -493,6 +493,14 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges_from_lineitem(spark, sf_dir), k=65, fixed_iterations=8)
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edges (k=10, fixed 10 peel rounds — past the measured
+    peel depth at both gate scales; unrolled-CTE oracle)."""
+    from linkgraph.algos.truss import k_truss
+
+    return k_truss(edges_from_lineitem(spark, sf_dir), k=10, fixed_rounds=10)
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction: top-20 non-adjacent pairs by
     common-neighbor score (hub centers degree-capped — the wedge

@@ -756,3 +756,31 @@ def test_harmonic_centrality_hand_computed(spark, edges_df):
             r["vid"]: r["dist"] for r in bfs_distances(e, sources=[s]).collect()
         }
         assert solo == {v: d for (lm, v), d in ld.items() if lm == s}
+
+
+def test_k_truss_hand_computed(spark, edges_df):
+    """4-clique + pendant triangle + lone edge: the 4-truss is exactly
+    the clique (clique edges close 2 triangles, pendant-triangle edges
+    only 1). Diamond chain: peeling must CASCADE to empty — round 1
+    drops the supp-1 rim, leaving the spine with no triangles at all."""
+    from linkgraph.algos.truss import k_truss
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    e = edges_df(clique + [(3, 4), (3, 5), (4, 5), (5, 6)])
+    got = sorted(
+        (r["src"], r["dst"]) for r in k_truss(e, k=4).collect()
+    )
+    assert got == sorted(clique)
+    # k=3 keeps every edge that lies on a triangle
+    got3 = sorted((r["src"], r["dst"]) for r in k_truss(e, k=3).collect())
+    assert got3 == sorted(clique + [(3, 4), (3, 5), (4, 5)])
+    # diamond chain (triangles sharing edges) cascades to empty at k=4
+    chain = edges_df(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)]
+    )
+    assert k_truss(chain, k=4).count() == 0
+    # fixed-round mode matches convergence mode past the peel depth
+    fixed = sorted(
+        (r["src"], r["dst"]) for r in k_truss(e, k=4, fixed_rounds=6).collect()
+    )
+    assert fixed == got
