@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q.q_hits,
         "harmonic_centrality": q.q_harmonic_centrality,
         "k_truss": q.q_k_truss,
+        "betweenness": q.q_betweenness,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": o.sql_hits(),
         "harmonic_centrality": o.sql_harmonic_centrality(),
         "k_truss": o.sql_k_truss(),
+        "betweenness": o.sql_betweenness(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

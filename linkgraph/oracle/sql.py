@@ -762,3 +762,58 @@ def sql_k_truss(k: int = 10, rounds: int = 10) -> str:
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM ke{rounds}"
+
+
+def sql_betweenness(landmarks=(1, 2, 3, 5), depth: int = 5) -> str:
+    """Mirror of linkgraph.algos.betweenness.betweenness_landmark:
+    unrolled level-synchronous Brandes (forward sigma levels, backward
+    dependency accumulation deepest-first)."""
+    lm_vals = ", ".join(f"({s}, {s}, 0, 1.0)" for s in landmarks)
+    parts = [
+        EDGES_CTE,
+        SYM_CTE,
+        f"bl0(lm, vid, dist, sigma) AS MATERIALIZED (VALUES {lm_vals})",
+        "bv0 AS (SELECT lm, vid, CAST(dist AS BIGINT) AS dist, CAST(sigma AS DOUBLE) AS sigma FROM bl0)",
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f"""bl{i} AS MATERIALIZED (
+  SELECT t.lm, t.vid, CAST({i} AS BIGINT) AS dist, t.sigma FROM (
+    SELECT b.lm, s.dst AS vid, sum(b.sigma) AS sigma
+    FROM bl{i-1} b JOIN sym s ON b.vid = s.src
+    GROUP BY b.lm, s.dst
+  ) t LEFT JOIN bv{i-1} v ON v.lm = t.lm AND v.vid = t.vid
+  WHERE v.vid IS NULL
+)"""
+        )
+        parts.append(
+            f"bv{i} AS MATERIALIZED (SELECT * FROM bv{i-1} UNION ALL SELECT * FROM bl{i})"
+        )
+    parts.append(
+        f"bdel{depth + 1} AS (SELECT lm, vid, CAST(0 AS DOUBLE) AS delta FROM bv{depth})"
+    )
+    for d in range(depth, 0, -1):
+        parts.append(
+            f"""bctr{d} AS MATERIALIZED (
+  SELECT w.lm, p.vid AS vid, sum((p.sigma / w.sigma) * (1 + dl.delta)) AS c
+  FROM bv{depth} w
+  JOIN bdel{d + 1} dl ON dl.lm = w.lm AND dl.vid = w.vid
+  JOIN sym s ON w.vid = s.src
+  JOIN bv{depth} p ON p.lm = w.lm AND p.vid = s.dst AND p.dist = w.dist - 1
+  WHERE w.dist = {d}
+  GROUP BY w.lm, p.vid
+)"""
+        )
+        parts.append(
+            f"""bdel{d} AS MATERIALIZED (
+  SELECT dl.lm, dl.vid, dl.delta + coalesce(c.c, 0) AS delta
+  FROM bdel{d + 1} dl LEFT JOIN bctr{d} c ON c.lm = dl.lm AND c.vid = dl.vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT d.vid, round(sum(d.delta), 6) AS betweenness
+FROM bdel1 d JOIN bv{depth} v ON v.lm = d.lm AND v.vid = d.vid
+WHERE v.dist > 0 GROUP BY d.vid"""
+    )

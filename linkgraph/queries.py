@@ -587,6 +587,17 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled betweenness (Brandes pivots {1,2,3,5}, depth
+    5 both phases — past the measured landmark eccentricity (3) at
+    both gate scales; unrolled-CTE oracle)."""
+    from linkgraph.algos.betweenness import betweenness_landmark
+
+    return betweenness_landmark(
+        edges_from_lineitem(spark, sf_dir), landmarks=[1, 2, 3, 5], depth=5
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the directed order-sequence graph
     (5 L1-normalized iterations; unrolled-CTE oracle)."""

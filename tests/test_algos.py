@@ -784,3 +784,24 @@ def test_k_truss_hand_computed(spark, edges_df):
         (r["src"], r["dst"]) for r in k_truss(e, k=4, fixed_rounds=6).collect()
     )
     assert fixed == got
+
+
+def test_betweenness_hand_computed(spark, edges_df):
+    """Path 0-1-2-3-4, landmarks {0,4}: every interior vertex carries
+    4 dependency units (Brandes δ summed from both ends), endpoints 0.
+    Diamond 0-1-3 / 0-2-3 from {0}: σ(3)=2 splits δ equally — the
+    fractional path-count case."""
+    from linkgraph.algos.betweenness import betweenness_landmark
+
+    path = edges_df([(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_landmark(path, [0, 4], depth=6).collect()
+    }
+    assert got == {0: 0.0, 1: 4.0, 2: 4.0, 3: 4.0, 4: 0.0}
+    diamond = edges_df([(0, 1), (0, 2), (1, 3), (2, 3)])
+    got_d = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_landmark(diamond, [0], depth=6).collect()
+    }
+    assert got_d == {1: 0.5, 2: 0.5, 3: 0.0}
