@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q.q_harmonic_centrality,
         "k_truss": q.q_k_truss,
         "betweenness": q.q_betweenness,
+        "sssp_weighted": q.q_sssp_weighted,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": o.sql_harmonic_centrality(),
         "k_truss": o.sql_k_truss(),
         "betweenness": o.sql_betweenness(),
+        "sssp_weighted": o.sql_sssp_weighted(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -817,3 +817,26 @@ SELECT d.vid, round(sum(d.delta), 6) AS betweenness
 FROM bdel1 d JOIN bv{depth} v ON v.lm = d.lm AND v.vid = d.vid
 WHERE v.dist > 0 GROUP BY d.vid"""
     )
+
+
+def sql_sssp_weighted(sources=(0, 1), iters: int = 8) -> str:
+    """Mirror of linkgraph.algos.sssp.sssp_weighted over the weighted
+    interaction graph (integer min-plus — exact at fixed rounds)."""
+    src_vals = ", ".join(f"({s}, 0)" for s in sources)
+    parts = [
+        EVENTS_WEDGES_CTE,
+        "wsym2 AS MATERIALIZED (SELECT src, dst, weight FROM we UNION ALL SELECT dst, src, weight FROM we)",
+        f"sp0(vid, cost) AS MATERIALIZED (VALUES {src_vals})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""sp{i} AS MATERIALIZED (
+  SELECT vid, CAST(min(cost) AS BIGINT) AS cost FROM (
+    SELECT s.dst AS vid, b.cost + s.weight AS cost
+    FROM sp{i-1} b JOIN wsym2 s ON b.vid = s.src
+    UNION ALL
+    SELECT vid, cost FROM sp{i-1}
+  ) GROUP BY vid
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, cost FROM sp{iters}"

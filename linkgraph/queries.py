@@ -587,6 +587,18 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (Bellman-Ford min-plus,
+    sources {0,1}, fixed 8 rounds) over the weighted interaction
+    graph; integer costs — exact unrolled-CTE oracle."""
+    from linkgraph.algos.sssp import sssp_weighted
+
+    return sssp_weighted(
+        weighted_edges_from_events(spark, sf_dir), sources=[0, 1],
+        fixed_iterations=8,
+    )
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-sampled betweenness (Brandes pivots {1,2,3,5}, depth
     5 both phases — past the measured landmark eccentricity (3) at

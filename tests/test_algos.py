@@ -805,3 +805,27 @@ def test_betweenness_hand_computed(spark, edges_df):
         for r in betweenness_landmark(diamond, [0], depth=6).collect()
     }
     assert got_d == {1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_sssp_weighted_hand_computed(spark):
+    """Cheap long route beats the expensive direct edge: vertex 3's
+    cost must IMPROVE after first being reached at 10 (Bellman-Ford
+    re-relaxation — the frontier re-entry case BFS never hits)."""
+    from linkgraph.algos.sssp import sssp_weighted
+
+    w = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10), (5, 6, 2)],
+        "src long, dst long, weight long",
+    )
+    got = {r["vid"]: r["cost"] for r in sssp_weighted(w, sources=[0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 5,6 unreached
+    # one round only: direct edge wins before relaxation catches up
+    one = {
+        r["vid"]: r["cost"]
+        for r in sssp_weighted(w, sources=[0], fixed_iterations=1).collect()
+    }
+    assert one[3] == 10
+    multi = {
+        r["vid"]: r["cost"] for r in sssp_weighted(w, sources=[0, 6]).collect()
+    }
+    assert multi == {0: 0, 1: 1, 2: 2, 3: 3, 6: 0, 5: 2}
