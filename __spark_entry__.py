@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q.q_k_truss,
         "betweenness": q.q_betweenness,
         "sssp_weighted": q.q_sssp_weighted,
+        "common_neighbors": q.q_common_neighbors,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": o.sql_k_truss(),
         "betweenness": o.sql_betweenness(),
         "sssp_weighted": o.sql_sssp_weighted(),
+        "common_neighbors": o.sql_common_neighbors(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

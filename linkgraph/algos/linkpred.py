@@ -161,3 +161,67 @@ def jaccard_topk(
         )
     )
     return scored.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("w")).limit(top)
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    top: int = 20,
+    max_center_degree: int = 10_000,
+) -> DataFrame:
+    """Three classic link-prediction scores in ONE wedge pass →
+    ``DataFrame[u, w, cn, ra_score, pa_score]`` for the ``top``
+    non-adjacent pairs (u < w) ranked by common-neighbor count:
+
+    - ``cn``      = |N(u) ∩ N(w)|            (common neighbors)
+    - ``ra_score``= Σ_{z ∈ N(u)∩N(w)} 1/deg(z) (resource allocation,
+                    Zhou et al. 2009 — like Adamic-Adar but 1/d not
+                    1/ln d)
+    - ``pa_score``= deg(u)·deg(w)            (preferential attachment)
+
+    Candidate enumeration, hub-center cap, and the anti-join against
+    existing edges are shared with ``adamic_adar_topk`` (reference
+    parity: GraphPartitioners has no link prediction — this is the
+    beyond-reference training-pipeline tier). CN and PA are integer
+    (exact); RA is a sum of exact dyadic-ish rationals rounded to 6dp
+    AFTER the full sum — the DuckDB oracle mirrors the same rounding.
+    Scale shape: identical to the other wedge ops — shuffle by center,
+    deg² fan-out bounded by the center cap, then one groupBy and two
+    broadcast degree joins."""
+    from linkgraph.graph import degrees, symmetrize
+
+    sym = symmetrize(edges)
+    deg = degrees(edges)
+    ctr = deg.where(
+        (F.col("degree") >= 2) & (F.col("degree") <= max_center_degree)
+    )
+    za = sym.join(ctr, sym["src"] == ctr["vid"]).select(
+        F.col("src").alias("z"), F.col("dst").alias("u"), F.col("degree").alias("dz")
+    )
+    a = za.alias("a")
+    b = za.select(F.col("z"), F.col("u").alias("w")).alias("b")
+    wedge = a.join(b, "z").where(F.col("a.u") < F.col("b.w")).select(
+        "a.u", "b.w", "a.dz"
+    )
+    cand = wedge.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    scored = cand.groupBy("u", "w").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.round(F.sum(F.lit(1.0) / F.col("dz")), 6).alias("ra_score"),
+    )
+    du = deg.select(F.col("vid").alias("u"), F.col("degree").alias("du"))
+    dw = deg.select(F.col("vid").alias("w"), F.col("degree").alias("dw"))
+    out = (
+        scored.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            "cn",
+            "ra_score",
+            (F.col("du") * F.col("dw")).cast("long").alias("pa_score"),
+        )
+    )
+    return out.orderBy(F.desc("cn"), F.asc("u"), F.asc("w")).limit(top)

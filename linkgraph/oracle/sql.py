@@ -840,3 +840,36 @@ def sql_sssp_weighted(sources=(0, 1), iters: int = 8) -> str:
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, cost FROM sp{iters}"
+
+
+def sql_common_neighbors(top: int = 20, cap: int = 10000) -> str:
+    """Mirror of linkgraph.algos.linkpred.common_neighbor_scores —
+    the adamic-adar wedge machinery with three scores in one pass:
+    integer CN count, resource-allocation sum (1/deg, rounded 6dp
+    after the full sum), preferential-attachment degree product."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {DEG_CTE},
+ctr AS MATERIALIZED (
+  SELECT vid, degree FROM deg WHERE degree >= 2 AND degree <= {cap}
+),
+za AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS u, c.degree AS dz
+  FROM sym s JOIN ctr c ON s.src = c.vid
+),
+wedge AS MATERIALIZED (
+  SELECT a.u AS u, b.u AS w, a.dz AS dz
+  FROM za a JOIN za b ON a.z = b.z AND a.u < b.u
+),
+cand AS MATERIALIZED (
+  SELECT wg.u, wg.w, wg.dz FROM wedge wg
+  LEFT JOIN e ON wg.u = e.src AND wg.w = e.dst
+  WHERE e.src IS NULL
+),
+sc AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS cn,
+         round(sum(1.0 / dz), 6) AS ra_score
+  FROM cand GROUP BY u, w
+)
+SELECT sc.u, sc.w, sc.cn, sc.ra_score,
+       CAST(du.degree * dw.degree AS BIGINT) AS pa_score
+FROM sc JOIN deg du ON sc.u = du.vid JOIN deg dw ON sc.w = dw.vid
+ORDER BY sc.cn DESC, sc.u ASC, sc.w ASC LIMIT {top}"""

@@ -741,3 +741,12 @@ def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_weighted(
         weighted_edges_from_events(spark, sf_dir), iterations=LPA_ITERS
     )
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / resource-allocation / preferential-attachment
+    link-prediction scores (top 20 non-adjacent pairs by CN) over the
+    co-occurrence graph — one wedge pass yields all three."""
+    from linkgraph.algos.linkpred import common_neighbor_scores
+
+    return common_neighbor_scores(edges_from_lineitem(spark, sf_dir), top=20)

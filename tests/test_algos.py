@@ -829,3 +829,15 @@ def test_sssp_weighted_hand_computed(spark):
         r["vid"]: r["cost"] for r in sssp_weighted(w, sources=[0, 6]).collect()
     }
     assert multi == {0: 0, 1: 1, 2: 2, 3: 3, 6: 0, 5: 2}
+
+
+def test_common_neighbor_scores_hand_computed(spark, edges_df):
+    """Same fixture as the Adamic-Adar test: the only non-adjacent
+    candidate pair is (1,3) with common neighbors {2,4} (deg 3 each)
+    — cn=2, ra = 1/3 + 1/3, pa = deg(1)*deg(3) = 2*2."""
+    from linkgraph.algos.linkpred import common_neighbor_scores
+
+    e = edges_df([(1, 2), (2, 3), (1, 4), (3, 4), (2, 4)])
+    rows = common_neighbor_scores(e, top=10).collect()
+    got = {(r["u"], r["w"]): (r["cn"], r["ra_score"], r["pa_score"]) for r in rows}
+    assert got == {(1, 3): (2, round(1 / 3 + 1 / 3, 6), 4)}
