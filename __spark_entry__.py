@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q.q_betweenness,
         "sssp_weighted": q.q_sssp_weighted,
         "common_neighbors": q.q_common_neighbors,
+        "mis": q.q_mis,
+        "coloring": q.q_coloring,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -198,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": o.sql_betweenness(),
         "sssp_weighted": o.sql_sssp_weighted(),
         "common_neighbors": o.sql_common_neighbors(),
+        "mis": o.sql_mis(),
+        "coloring": o.sql_coloring(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -216,6 +216,25 @@ def run_suite(master: str | None = None) -> dict:
             lambda: triangle_total(edges).first()["n_triangles"],
         )
 
+        # round-5 analytics at sf0.1 (best-of-2 like the other
+        # contested iterative timings): SCC on the directed
+        # order-sequence graph, node2vec biased walks on the
+        # co-occurrence graph
+        from linkgraph.algos.scc import strongly_connected_components
+        from linkgraph.algos.walks import node2vec_walks
+        from linkgraph.graph import directed_edges_from_lineitem
+
+        dedges = directed_edges_from_lineitem(spark, SF_DIR).cache()
+        dedges.count()
+        extras["n_scc_vertices"] = best_of(
+            "scc", lambda: strongly_connected_components(dedges).count()
+        )
+        dedges.unpersist()
+        best_of(
+            "node2vec_3steps",
+            lambda: node2vec_walks(edges, walk_len=3).count(),
+        )
+
         # pipeline ops on the documents table (SimHash: single-agg
         # bitwise formulation; LSH: bucket join with mega-bucket cap)
         from linkgraph.pipeline.dedup import minhash_lsh_candidates, simhash

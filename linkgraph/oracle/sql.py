@@ -873,3 +873,73 @@ SELECT sc.u, sc.w, sc.cn, sc.ra_score,
        CAST(du.degree * dw.degree AS BIGINT) AS pa_score
 FROM sc JOIN deg du ON sc.u = du.vid JOIN deg dw ON sc.w = dw.vid
 ORDER BY sc.cn DESC, sc.u ASC, sc.w ASC LIMIT {top}"""
+
+
+def _mis_priority(col: str, seed: int) -> str:
+    """60-bit engine-portable priority — DuckDB twin of
+    linkgraph.algos.mis._priority (15 hex digits of md5)."""
+    return f"('0x' || substr(md5({col} || ':' || {seed}), 1, 15))::BIGINT"
+
+
+def _mis_rounds(iters: int, seed: int, remove_neighbors: bool) -> list[str]:
+    """Shared unrolled-CTE chain for MIS (winners + neighbors leave)
+    and local-min coloring (only winners leave) — matches
+    linkgraph.algos.mis round-for-round."""
+    parts = [
+        EDGES_CTE, SYM_CTE, VERTS_CTE,
+        f"act0 AS MATERIALIZED (SELECT vid, {_mis_priority('vid', seed)} AS h "
+        "FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""nm{i} AS MATERIALIZED (
+  SELECT s.dst AS vid, MIN(ah.h) AS nbr_h
+  FROM sym s JOIN act{i-1} ah ON s.src = ah.vid
+             JOIN act{i-1} ad ON s.dst = ad.vid
+  GROUP BY s.dst
+)"""
+        )
+        parts.append(
+            f"""win{i} AS MATERIALIZED (
+  SELECT a.vid FROM act{i-1} a LEFT JOIN nm{i} n ON a.vid = n.vid
+  WHERE n.nbr_h IS NULL OR a.h < n.nbr_h
+)"""
+        )
+        drop_nbrs = (
+            f"  AND a.vid NOT IN (SELECT s.dst FROM sym s "
+            f"JOIN win{i} w ON s.src = w.vid)"
+            if remove_neighbors
+            else ""
+        )
+        parts.append(
+            f"""act{i} AS MATERIALIZED (
+  SELECT a.vid, a.h FROM act{i-1} a
+  WHERE a.vid NOT IN (SELECT vid FROM win{i}){drop_nbrs}
+)"""
+        )
+    return parts
+
+
+def sql_mis(iters: int = 12, seed: int = 985) -> str:
+    """Greedy (static-priority) maximal independent set — matches
+    linkgraph.algos.mis.maximal_independent_set at
+    fixed_iterations=iters (measured convergence: 4 rounds at
+    sf0.001, 8 at sf0.01)."""
+    parts = _mis_rounds(iters, seed, remove_neighbors=True)
+    union = "\nUNION ALL\n".join(
+        f"SELECT vid, {i} AS mis_round FROM win{i}" for i in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def sql_coloring(iters: int = 12, seed: int = 985) -> str:
+    """Local-min (Jones-Plassmann round-number) coloring, first
+    `iters` rounds — matches linkgraph.algos.mis.greedy_coloring at
+    fixed_iterations=iters, allow_partial=True (the co-occurrence
+    graph is near-clique dense, so 12 rounds color a prefix; the
+    check is an exact value-match of 12 kernel rounds)."""
+    parts = _mis_rounds(iters, seed, remove_neighbors=False)
+    union = "\nUNION ALL\n".join(
+        f"SELECT vid, {i} AS color FROM win{i}" for i in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union

@@ -750,3 +750,27 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.linkpred import common_neighbor_scores
 
     return common_neighbor_scores(edges_from_lineitem(spark, sf_dir), top=20)
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal independent set (static md5 priorities, fixed 12
+    local-min rounds — measured convergence 4/8 rounds at the two gate
+    scales; unrolled-CTE oracle)."""
+    from linkgraph.algos.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        edges_from_lineitem(spark, sf_dir), fixed_iterations=12
+    )
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 12 rounds of local-min (Jones-Plassmann) coloring — on
+    this near-clique co-occurrence graph that is a partial coloring
+    (local-min coloring is for sparse graphs); the gate value-checks
+    the 12 kernel rounds exactly against the unrolled oracle."""
+    from linkgraph.algos.mis import greedy_coloring
+
+    return greedy_coloring(
+        edges_from_lineitem(spark, sf_dir), fixed_iterations=12,
+        allow_partial=True,
+    )

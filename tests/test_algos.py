@@ -841,3 +841,49 @@ def test_common_neighbor_scores_hand_computed(spark, edges_df):
     rows = common_neighbor_scores(e, top=10).collect()
     got = {(r["u"], r["w"]): (r["cn"], r["ra_score"], r["pa_score"]) for r in rows}
     assert got == {(1, 3): (2, round(1 / 3 + 1 / 3, 6), 4)}
+
+
+def test_mis_independent_and_maximal(spark, edges_df):
+    """On a 16-cycle: the returned set has no adjacent pair and every
+    non-member has a member neighbor (maximality)."""
+    from linkgraph.algos.mis import maximal_independent_set
+
+    n = 16
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    mis = {r["vid"] for r in maximal_independent_set(edges_df(cyc)).collect()}
+    adj = {v: set() for v in range(n)}
+    for a, b in cyc:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert all(not (adj[v] & mis) for v in mis)          # independent
+    assert all(adj[v] & mis for v in set(range(n)) - mis)  # maximal
+
+
+def test_coloring_proper_and_complete_on_sparse(spark, edges_df):
+    """Local-min coloring fully colors a sparse graph (16-cycle plus a
+    chord) and no edge is monochromatic."""
+    from linkgraph.algos.mis import greedy_coloring
+
+    n = 16
+    es = [(i, (i + 1) % n) for i in range(n)] + [(0, 8)]
+    colors = {
+        r["vid"]: r["color"] for r in greedy_coloring(edges_df(es)).collect()
+    }
+    assert set(colors) == set(range(n))  # everyone colored
+    assert all(colors[a] != colors[b] for a, b in es)  # proper
+
+
+def test_coloring_partial_budget_raises_without_flag(spark, edges_df):
+    """A triangle needs 3 rounds under local-min coloring; a 1-round
+    budget raises unless allow_partial, which returns the 1-round
+    prefix (exactly the round-1 local minima)."""
+    import pytest as _pytest
+
+    from linkgraph.algos.mis import greedy_coloring
+
+    tri = edges_df([(1, 2), (2, 3), (1, 3)])
+    with _pytest.raises(RuntimeError):
+        greedy_coloring(tri, fixed_iterations=1).collect()
+    part = greedy_coloring(tri, fixed_iterations=1, allow_partial=True)
+    rows = part.collect()
+    assert len(rows) == 1 and rows[0]["color"] == 1
