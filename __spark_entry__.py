@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_neighbors": q.q_common_neighbors,
         "mis": q.q_mis,
         "coloring": q.q_coloring,
+        "reciprocity": q.q_reciprocity,
+        "co_purchase": q.q_co_purchase,
+        "feature_propagation": q.q_feature_propagation,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -202,6 +205,9 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": o.sql_common_neighbors(),
         "mis": o.sql_mis(),
         "coloring": o.sql_coloring(),
+        "reciprocity": o.sql_reciprocity(),
+        "co_purchase": o.sql_co_purchase(),
+        "feature_propagation": o.sql_feature_propagation(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

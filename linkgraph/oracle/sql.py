@@ -943,3 +943,75 @@ def sql_coloring(iters: int = 12, seed: int = 985) -> str:
         f"SELECT vid, {i} AS color FROM win{i}" for i in range(1, iters + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+DIRECTED_EDGES_CTE = """dli AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, CAST(l_partkey AS BIGINT) AS pk,
+         lead(CAST(l_partkey AS BIGINT)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ) AS nxt
+  FROM lineitem
+),
+de AS MATERIALIZED (
+  SELECT DISTINCT pk AS src, nxt AS dst FROM dli
+  WHERE nxt IS NOT NULL AND nxt != pk
+    AND (pk < nxt OR
+         ('0x' || substr(md5(pk || ':' || nxt || ':scc'), 1, 8))::BIGINT % 64 = 0)
+)"""
+
+
+def sql_reciprocity() -> str:
+    """Directed order-sequence graph census — matches
+    linkgraph.algos.projection.reciprocity over
+    graph.directed_edges_from_lineitem (same lead() total order and
+    md5-sampled back edges)."""
+    return f"""WITH {DIRECTED_EDGES_CTE},
+flg AS MATERIALIZED (
+  SELECT a.src, a.dst, CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS has_rev
+  FROM de a LEFT JOIN de b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(has_rev) AS BIGINT) AS n_mutual,
+       round(sum(has_rev) * 1.0 / count(*), 6) AS reciprocity
+FROM flg"""
+
+
+def sql_co_purchase(hub_cap: int = 40, top: int = 200) -> str:
+    """Customer co-purchase bipartite projection (hub-capped), top
+    pairs by weight — matches
+    linkgraph.algos.projection.co_purchase_edges."""
+    return f"""WITH inc AS MATERIALIZED (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS l,
+                  CAST(li.l_partkey AS BIGINT) AS r
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+),
+fan AS MATERIALIZED (SELECT r FROM inc GROUP BY r HAVING count(*) <= {hub_cap}),
+kept AS MATERIALIZED (SELECT i.l, i.r FROM inc i JOIN fan f ON i.r = f.r)
+SELECT a.l AS u, b.l AS w, CAST(count(*) AS BIGINT) AS weight
+FROM kept a JOIN kept b ON a.r = b.r AND a.l < b.l
+GROUP BY a.l, b.l
+ORDER BY weight DESC, u ASC, w ASC LIMIT {top}"""
+
+
+def sql_feature_propagation(quant: int = 1_000_000) -> str:
+    """One GNN message-passing layer: per-vertex element-wise SUM of
+    neighbors' quantized (×quant, rounded) embeddings + neighbor count
+    — matches linkgraph.algos.features.feature_propagation (quantize
+    first, integer-sum after: order-free, so value-hashable)."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE},
+qdims AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS fid, pos - 1 AS pos,
+         CAST(round(CAST(embedding[pos] AS DOUBLE) * {quant}) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS pos
+    FROM embeddings
+  )
+),
+ds AS MATERIALIZED (
+  SELECT s.dst AS vid, q.pos, sum(q.v) AS sv, count(*) AS n
+  FROM sym s JOIN qdims q ON s.src = q.fid
+  GROUP BY s.dst, q.pos
+)
+SELECT vid, CAST(max(n) AS BIGINT) AS n_nbrs,
+       array_agg(sv ORDER BY pos) AS feat_sum
+FROM ds GROUP BY vid"""

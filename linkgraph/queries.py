@@ -774,3 +774,38 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_from_lineitem(spark, sf_dir), fixed_iterations=12,
         allow_partial=True,
     )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity census of the directed order-sequence graph (the
+    bowtie diagnostic for the SCC substrate)."""
+    from linkgraph.algos.projection import reciprocity
+    from linkgraph.graph import directed_edges_from_lineitem
+
+    return reciprocity(directed_edges_from_lineitem(spark, sf_dir))
+
+
+def q_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer co-purchase graph via hub-capped bipartite projection
+    (cap 40 — binding at sf0.01 where max part fan-out is 49), top 200
+    pairs by (weight desc, u, w)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.projection import co_purchase_edges
+
+    return (
+        co_purchase_edges(spark, sf_dir, hub_cap=40)
+        .orderBy(F.desc("weight"), "u", "w")
+        .limit(200)
+    )
+
+
+def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One message-passing layer of quantized-embedding aggregation
+    over the co-occurrence graph (embeddings table joined on
+    vid = vec_id; integer-exact, so fully value-hashed)."""
+    from linkgraph.algos.features import feature_propagation
+    from linkgraph.graph import load_table
+
+    feats = load_table(spark, sf_dir, "embeddings")
+    return feature_propagation(edges_from_lineitem(spark, sf_dir), feats)

@@ -887,3 +887,53 @@ def test_coloring_partial_budget_raises_without_flag(spark, edges_df):
     part = greedy_coloring(tri, fixed_iterations=1, allow_partial=True)
     rows = part.collect()
     assert len(rows) == 1 and rows[0]["color"] == 1
+
+
+def test_bipartite_projection_hand_computed(spark):
+    """Customers {1,2,3} × parts {10,11,12}: parts 10={1,2}, 11={1,2,3},
+    12={3}. Full projection: (1,2) share {10,11} → 2; (1,3),(2,3)
+    share {11} → 1. With hub_cap=2 part 11 is dropped → only (1,2)
+    remains at weight 1."""
+    from linkgraph.algos.projection import bipartite_projection
+
+    inc = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11), (3, 12), (1, 11)],
+        "cust long, part long",
+    )
+    full = {
+        (r["u"], r["w"]): r["weight"]
+        for r in bipartite_projection(inc, "cust", "part").collect()
+    }
+    assert full == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    capped = {
+        (r["u"], r["w"]): r["weight"]
+        for r in bipartite_projection(inc, "cust", "part", hub_cap=2).collect()
+    }
+    assert capped == {(1, 2): 1}
+
+
+def test_reciprocity_hand_computed(spark, edges_df):
+    """4 directed edges, one mutual pair (1→2, 2→1) → 2 mutual edges,
+    reciprocity 0.5."""
+    from linkgraph.algos.projection import reciprocity
+
+    de = edges_df([(1, 2), (2, 1), (2, 3), (3, 4)])
+    row = reciprocity(de).first()
+    assert (row["n_edges"], row["n_mutual"]) == (4, 2)
+    assert row["reciprocity"] == 0.5
+
+
+def test_feature_propagation_hand_computed(spark, edges_df):
+    """Path 1-2-3 with features only on 1 and 3: vertex 2 sums both
+    neighbors' quantized vectors; vertices 1 and 3 each see only
+    vertex 2, which has no feature row → absent."""
+    from linkgraph.algos.features import feature_propagation
+
+    e = edges_df([(1, 2), (2, 3)])
+    feats = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (3, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = feature_propagation(e, feats).collect()
+    got = {r["vid"]: (r["n_nbrs"], r["feat_sum"]) for r in rows}
+    assert got == {2: (2, [600000, -50000])}
