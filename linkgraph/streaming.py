@@ -256,3 +256,40 @@ def run_degree_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+WEIGHTED_EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("weight", T.LongType()),
+    ]
+)
+
+
+def read_weighted_edge_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based WEIGHTED edge feed (parquet drops of
+    (src, dst, weight) batches) — the interaction-graph ingestion
+    path."""
+    return (
+        spark.readStream.schema(WEIGHTED_EDGES_SCHEMA)
+        .format("parquet")
+        .load(path)
+    )
+
+
+def strength_stream(edges: DataFrame) -> DataFrame:
+    """Streaming twin of the ``vertex_strength`` batch query: a
+    continuously-maintained (degree, strength=Σ incident weight)
+    table over an arriving weighted edge feed. Same shape as
+    ``degree_stream`` — map-side partial aggregation per micro-batch
+    folding into keyed state sharded by vid — with a second summed
+    column. Self-loops excluded (batch contract)."""
+    clean = edges.where(F.col("src") != F.col("dst"))
+    sym = clean.select(
+        F.col("src").alias("vid"), "weight"
+    ).unionByName(clean.select(F.col("dst").alias("vid"), "weight"))
+    return sym.groupBy("vid").agg(
+        F.count("*").cast("long").alias("degree"),
+        F.sum("weight").cast("long").alias("strength"),
+    )

@@ -267,3 +267,55 @@ def test_streaming_degrees_match_batch_across_batches(spark, tmp_path):
     # vertex 2 appears in (1,2), (2,3), (0,2), (1,2) — the parallel
     # (1,2) counts per occurrence, matching the batch contract
     assert got2[2] == 4
+
+
+def test_streaming_strength_matches_batch_across_batches(spark, tmp_path):
+    """Weighted twin of the streaming degree test: two weighted edge
+    drops; after each drain the maintained (degree, strength) table
+    equals the batch aggregate of everything seen so far."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.streaming import read_weighted_edge_stream, strength_stream
+
+    src = str(tmp_path / "wedges_in")
+    batch1 = [(0, 1, 5), (1, 2, 3), (2, 2, 9)]  # self-loop dropped
+    batch2 = [(0, 2, 1), (1, 2, 2)]  # parallel (1,2) accumulates
+
+    def batch_expected(rows):
+        clean = [r for r in rows if r[0] != r[1]]
+        exp: dict[int, list[int]] = {}
+        for s, d, w in clean:
+            for v in (s, d):
+                deg, st = exp.get(v, (0, 0))
+                exp[v] = (deg + 1, st + w)
+        return exp
+
+    spark.createDataFrame(
+        batch1, "src long, dst long, weight long"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    out = strength_stream(read_weighted_edge_stream(spark, src))
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_strength")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r["vid"]: (r["degree"], r["strength"])
+            for r in spark.sql("SELECT * FROM t_strength").collect()
+        }
+        assert got1 == batch_expected(batch1)
+
+        spark.createDataFrame(
+            batch2, "src long, dst long, weight long"
+        ).repartition(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = {
+            r["vid"]: (r["degree"], r["strength"])
+            for r in spark.sql("SELECT * FROM t_strength").collect()
+        }
+        assert got2 == batch_expected(batch1 + batch2)
+    finally:
+        q.stop()
