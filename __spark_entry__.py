@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q.q_reciprocity,
         "co_purchase": q.q_co_purchase,
         "feature_propagation": q.q_feature_propagation,
+        "distance_histogram": q.q_distance_histogram,
+        "chunk_documents": pq.q_chunk_documents,
+        "mixture_weights": pq.q_mixture_weights,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -208,6 +211,9 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": o.sql_reciprocity(),
         "co_purchase": o.sql_co_purchase(),
         "feature_propagation": o.sql_feature_propagation(),
+        "distance_histogram": o.sql_distance_histogram(),
+        "chunk_documents": po.sql_chunk_documents(),
+        "mixture_weights": po.sql_mixture_weights(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

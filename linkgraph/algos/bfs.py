@@ -144,3 +144,32 @@ def bfs_distances(
             if fixed_iterations is None and n_new == 0:
                 break
     return dist
+
+
+def distance_histogram(
+    edges: DataFrame,
+    landmarks: list[int],
+    fixed_iterations: int = 8,
+) -> DataFrame:
+    """Landmark-sampled distance distribution — the neighborhood-
+    function / effective-diameter estimator (ANF-style, with exact
+    per-landmark BFS instead of sketches). Returns one row per
+    distance value: ``(dist, n_pairs, cum_share)`` where cum_share is
+    the fraction of reached (landmark, vertex) pairs at distance ≤
+    dist; the effective diameter reads off as the smallest dist with
+    cum_share ≥ 0.9. Integer counts + a fixed-order window over the
+    ≤ fixed_iterations+1 histogram rows — exact cross-engine."""
+    from pyspark.sql import Window
+
+    d = landmark_distances(edges, landmarks, fixed_iterations)
+    hist = d.groupBy("dist").agg(F.count("*").cast("long").alias("n_pairs"))
+    w = Window.orderBy("dist")
+    total = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "dist",
+        "n_pairs",
+        F.round(F.sum("n_pairs").over(w) / F.sum("n_pairs").over(total), 6)
+        .alias("cum_share"),
+    )

@@ -492,3 +492,34 @@ SELECT doc_id, term, tfidf, rnk FROM (
          ) AS BIGINT) AS rnk
   FROM sc
 ) WHERE rnk <= {k}"""
+
+
+def sql_chunk_documents(max_len: int = 200, stride: int = 150) -> str:
+    """Overlapping character-window chunking — matches
+    linkgraph.pipeline.text.chunk_documents."""
+    return f"""WITH ks AS MATERIALIZED (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(floor((length(text) - 1) / {stride}) AS BIGINT))) AS k
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       substr(text, CAST(k * {stride} + 1 AS INTEGER), {max_len}) AS chunk,
+       CAST(length(substr(text, CAST(k * {stride} + 1 AS INTEGER), {max_len}))
+            AS BIGINT) AS chunk_len
+FROM ks"""
+
+
+def sql_mixture_weights() -> str:
+    """Temperature-0.5 language mixture — matches
+    linkgraph.pipeline.sampling.mixture_weights (sqrt not pow; window
+    total in fixed lang order)."""
+    return """WITH counts AS MATERIALIZED (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       round(sqrt(n_docs) /
+             sum(sqrt(n_docs)) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND UNBOUNDED FOLLOWING), 6)
+         AS mix_weight
+FROM counts"""

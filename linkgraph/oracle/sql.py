@@ -666,10 +666,9 @@ de AS MATERIALIZED (
 )"""
 
 
-def sql_harmonic_centrality(landmarks=(1, 2, 3, 5), iters: int = 8) -> str:
-    """Mirror of linkgraph.algos.bfs.harmonic_centrality: unrolled
-    keyed landmark BFS (integer min — exact), then the 1/d sum rounded
-    to 6 decimals on both sides."""
+def _landmark_bfs_parts(landmarks, iters: int) -> list:
+    """Unrolled keyed landmark-BFS CTE chain (hd0..hd{iters}) shared
+    by the harmonic-centrality and distance-histogram oracles."""
     lm_vals = ", ".join(f"({s}, {s}, 0)" for s in landmarks)
     parts = [EDGES_CTE, SYM_CTE,
              f"hd0(lm, vid, dist) AS MATERIALIZED (VALUES {lm_vals})"]
@@ -684,11 +683,41 @@ def sql_harmonic_centrality(landmarks=(1, 2, 3, 5), iters: int = 8) -> str:
   ) GROUP BY lm, vid
 )"""
         )
+    return parts
+
+
+def sql_harmonic_centrality(landmarks=(1, 2, 3, 5), iters: int = 8) -> str:
+    """Mirror of linkgraph.algos.bfs.harmonic_centrality: unrolled
+    keyed landmark BFS (integer min — exact), then the 1/d sum rounded
+    to 6 decimals on both sides."""
+    parts = _landmark_bfs_parts(landmarks, iters)
     return (
         "WITH " + ",\n".join(parts)
         + f"""
 SELECT vid, round(sum(1.0 / dist), 6) AS harmonic
 FROM hd{iters} WHERE dist > 0 GROUP BY vid"""
+    )
+
+
+def sql_distance_histogram(landmarks=(1, 2, 3, 5), iters: int = 8) -> str:
+    """Mirror of linkgraph.algos.bfs.distance_histogram: the same
+    landmark-BFS chain grouped into a (dist, n_pairs, cum_share)
+    distribution; the window total runs in fixed dist order on both
+    sides."""
+    parts = _landmark_bfs_parts(landmarks, iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+hist AS MATERIALIZED (
+  SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM hd{iters} GROUP BY dist
+)
+SELECT dist, n_pairs,
+       round(sum(n_pairs) OVER (ORDER BY dist) * 1.0 /
+             sum(n_pairs) OVER (ORDER BY dist ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND UNBOUNDED FOLLOWING), 6)
+         AS cum_share
+FROM hist"""
     )
 
 

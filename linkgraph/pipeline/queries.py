@@ -124,3 +124,13 @@ def q_unigram_logprob(spark, sf_dir):
 
 def q_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_chunk_documents(spark, sf_dir):
+    return text.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir):
+    from linkgraph.pipeline import sampling
+
+    return sampling.mixture_weights(_docs(spark, sf_dir))

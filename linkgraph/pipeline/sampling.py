@@ -205,3 +205,27 @@ def domain_cap(docs: DataFrame, cap: int = 5, salt: str = "cap") -> DataFrame:
         .where(F.col("rk") <= cap)
         .select("doc_id", "source", "rk")
     )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled (α = 0.5) language mixture weights for
+    dataset mixing: weight_l ∝ sqrt(n_l), normalized. sqrt instead of
+    a general pow keeps the math IEEE-identical across engines
+    (correctly-rounded sqrt of identical doubles; pow is NOT
+    cross-engine safe), and the normalizing total is a fixed-order
+    window sum over the (tiny) per-language table so the float
+    reduction order is pinned on both sides. Returns
+    ``(lang, n_docs, mix_weight)``."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.sqrt("n_docs") / F.sum(F.sqrt("n_docs")).over(w), 6
+        ).alias("mix_weight"),
+    )

@@ -302,3 +302,32 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+def chunk_documents(
+    docs: DataFrame, max_len: int = 200, stride: int = 150
+) -> DataFrame:
+    """Split each document into overlapping character windows
+    (training-sequence chunking: window ``max_len`` chars, hop
+    ``stride``). Returns ``(doc_id, chunk_id, chunk, chunk_len)`` —
+    chunk k covers [k*stride, k*stride + max_len).
+
+    Pure JVM expressions: a per-doc ``sequence`` of window indices
+    (bounded by doc length — no skew), explode, substring. At corpus
+    scale this is the standard pre-tokenization sharding step; output
+    row count is ~n_chars/stride per doc, a constant factor of the
+    scan."""
+    n = F.length("text")
+    ks = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)))
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.explode(ks).alias("k"), "text")
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_id"),
+            F.expr(f"substring(text, k * {stride} + 1, {max_len})").alias(
+                "chunk"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )

@@ -809,3 +809,15 @@ def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = load_table(spark, sf_dir, "embeddings")
     return feature_propagation(edges_from_lineitem(spark, sf_dir), feats)
+
+
+def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled distance distribution / effective-diameter
+    estimator (landmarks {1,2,3,5}, 8 fixed BFS rounds — shares the
+    harmonic-centrality unrolled oracle chain)."""
+    from linkgraph.algos.bfs import distance_histogram
+
+    return distance_histogram(
+        edges_from_lineitem(spark, sf_dir), landmarks=[1, 2, 3, 5],
+        fixed_iterations=8,
+    )

@@ -937,3 +937,14 @@ def test_feature_propagation_hand_computed(spark, edges_df):
     rows = feature_propagation(e, feats).collect()
     got = {r["vid"]: (r["n_nbrs"], r["feat_sum"]) for r in rows}
     assert got == {2: (2, [600000, -50000])}
+
+
+def test_distance_histogram_on_path(spark, edges_df):
+    """Path 0-1-2-3 with landmark {0}: one pair at each of dist
+    0,1,2,3 → n_pairs all 1, cum_share 0.25/0.5/0.75/1.0."""
+    from linkgraph.algos.bfs import distance_histogram
+
+    e = edges_df([(0, 1), (1, 2), (2, 3)])
+    rows = distance_histogram(e, landmarks=[0], fixed_iterations=4).collect()
+    got = {r["dist"]: (r["n_pairs"], r["cum_share"]) for r in rows}
+    assert got == {0: (1, 0.25), 1: (1, 0.5), 2: (1, 0.75), 3: (1, 1.0)}

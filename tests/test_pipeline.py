@@ -540,3 +540,31 @@ def test_domain_cap_megadomain_prefilter(spark):
         )
     )
     assert out == naive
+
+
+def test_chunk_documents_boundaries(spark):
+    """370-char doc at (max_len=200, stride=150): chunks at 0 (200),
+    150 (200), 300 (70); 100-char doc → one whole-doc chunk; empty doc
+    → no chunks."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 370), (2, "b" * 100), (3, "")], "doc_id long, text string"
+    )
+    rows = text.chunk_documents(docs, max_len=200, stride=150).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk_len"] for r in rows}
+    assert got == {(1, 0): 200, (1, 1): 200, (1, 2): 70, (2, 0): 100}
+    chunks = {r["chunk_id"]: r["chunk"] for r in rows if r["doc_id"] == 1}
+    assert chunks[2] == "a" * 70
+
+
+def test_mixture_weights_hand_computed(spark):
+    """Counts en=4, fr=1 → sqrt weights 2 and 1 → 2/3 and 1/3."""
+    from linkgraph.pipeline.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(4)] + [(9, "fr")], "doc_id long, lang string"
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["mix_weight"])
+        for r in mixture_weights(docs).collect()
+    }
+    assert got == {"en": (4, round(2 / 3, 6)), "fr": (1, round(1 / 3, 6))}
