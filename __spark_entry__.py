@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": q.q_distance_histogram,
         "chunk_documents": pq.q_chunk_documents,
         "mixture_weights": pq.q_mixture_weights,
+        "nation_assortativity": q.q_nation_assortativity,
+        "subgraph_sample": q.q_subgraph_sample,
+        "two_hop_sizes": q.q_two_hop_sizes,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -214,6 +217,9 @@ def oracle_sql() -> dict[str, str]:
         "distance_histogram": o.sql_distance_histogram(),
         "chunk_documents": po.sql_chunk_documents(),
         "mixture_weights": po.sql_mixture_weights(),
+        "nation_assortativity": o.sql_nation_assortativity(),
+        "subgraph_sample": o.sql_subgraph_sample(),
+        "two_hop_sizes": o.sql_two_hop_sizes(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

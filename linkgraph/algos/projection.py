@@ -105,3 +105,99 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame, attrs: DataFrame, vid_col: str = "vid",
+    cls_col: str = "cls",
+) -> DataFrame:
+    """Categorical (Newman) assortativity coefficient of an undirected
+    graph whose vertices carry a class attribute:
+    r = (Σ e_ii − Σ a_i²) / (1 − Σ a_i²) over the dart mixing matrix.
+
+    Spelled in INTEGER dart counts until one final division —
+    r = (same·total − Σ c_i²) / (total² − Σ c_i²) with c_i the darts
+    leaving class i — so both engines divide the same two longs and
+    the rounded double matches exactly. NULL when every dart stays in
+    one class (undefined, zero denominator). Two attribute joins +
+    two aggregates; no windows, no driver state."""
+    from linkgraph.graph import symmetrize
+
+    sym = symmetrize(edges)
+    a = attrs.select(
+        F.col(vid_col).cast("long").alias("src"),
+        F.col(cls_col).alias("cls_src"),
+    )
+    b = attrs.select(
+        F.col(vid_col).cast("long").alias("dst"),
+        F.col(cls_col).alias("cls_dst"),
+    )
+    darts = sym.join(a, "src").join(b, "dst").cache()
+    tot = darts.agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum((F.col("cls_src") == F.col("cls_dst")).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    sq = (
+        darts.groupBy("cls_src")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("q"))
+    )
+    return tot.crossJoin(sq).select(
+        F.round(
+            F.try_divide(
+                F.col("s") * F.col("t") - F.col("q"),
+                F.col("t") * F.col("t") - F.col("q"),
+            ),
+            6,
+        ).alias("assortativity")
+    )
+
+
+def induced_subgraph(edges: DataFrame, m: int = 4, salt: str = "sub") -> DataFrame:
+    """Deterministic vertex-sampled induced subgraph (graph
+    minibatching / debug-at-scale): keep vertex v iff
+    md5(v:salt) % m == 0, keep an edge iff BOTH endpoints survive
+    (expected edge retention 1/m²). A narrow map over the edge list —
+    no shuffle at all: the endpoint hashes are computed per edge
+    row."""
+    from linkgraph.hashing import md5_prefix_hash
+
+    keep_src = F.pmod(md5_prefix_hash("src", F.lit(salt)), F.lit(m)) == 0
+    keep_dst = F.pmod(md5_prefix_hash("dst", F.lit(salt)), F.lit(m)) == 0
+    return edges.where(keep_src & keep_dst).select("src", "dst")
+
+
+def two_hop_sizes(edges: DataFrame, cap: int = 10000) -> DataFrame:
+    """Exact 2-hop neighborhood size per vertex: the number of
+    distinct vertices at graph distance exactly 2 (reachable through
+    a wedge center of degree ≤ cap, not adjacent, not self). The
+    per-vertex neighborhood-function point v ↦ |N₂(v)| that feeds
+    sampling-based curvature/expansion diagnostics.
+
+    Same scale shape as Adamic-Adar: wedge fan-out bounded by the
+    center-degree cap (a 10⁸-degree hub would otherwise contribute
+    deg² pairs), distinct + anti-join on the edge list, then a
+    partial-aggregated count."""
+    from linkgraph.graph import degrees, symmetrize
+
+    sym = symmetrize(edges)
+    ctr = degrees(edges).where(
+        (F.col("degree") >= 2) & (F.col("degree") <= cap)
+    ).select(F.col("vid").alias("z"))
+    za = sym.join(ctr, sym["src"] == ctr["z"]).select(
+        "z", F.col("dst").alias("u")
+    )
+    zb = za.select("z", F.col("u").alias("w"))
+    pairs = (
+        za.join(zb, "z")
+        .where(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+    )
+    far = pairs.join(sym, (pairs["u"] == sym["src"]) & (pairs["w"] == sym["dst"]),
+                     "left_anti")
+    return far.groupBy(F.col("u").alias("vid")).agg(
+        F.count("*").cast("long").alias("n2")
+    )

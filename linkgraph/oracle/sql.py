@@ -1005,21 +1005,96 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
 FROM flg"""
 
 
-def sql_co_purchase(hub_cap: int = 40, top: int = 200) -> str:
-    """Customer co-purchase bipartite projection (hub-capped), top
-    pairs by weight — matches
-    linkgraph.algos.projection.co_purchase_edges."""
-    return f"""WITH inc AS MATERIALIZED (
+def _co_purchase_parts(hub_cap: int) -> str:
+    """Shared CTE chain: customer-part incidence → hub-cap filter →
+    projected co-purchase edge list cpe(u, w, weight)."""
+    return f"""inc AS MATERIALIZED (
   SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS l,
                   CAST(li.l_partkey AS BIGINT) AS r
   FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
 ),
 fan AS MATERIALIZED (SELECT r FROM inc GROUP BY r HAVING count(*) <= {hub_cap}),
-kept AS MATERIALIZED (SELECT i.l, i.r FROM inc i JOIN fan f ON i.r = f.r)
-SELECT a.l AS u, b.l AS w, CAST(count(*) AS BIGINT) AS weight
-FROM kept a JOIN kept b ON a.r = b.r AND a.l < b.l
-GROUP BY a.l, b.l
-ORDER BY weight DESC, u ASC, w ASC LIMIT {top}"""
+kept AS MATERIALIZED (SELECT i.l, i.r FROM inc i JOIN fan f ON i.r = f.r),
+cpe AS MATERIALIZED (
+  SELECT a.l AS u, b.l AS w, CAST(count(*) AS BIGINT) AS weight
+  FROM kept a JOIN kept b ON a.r = b.r AND a.l < b.l
+  GROUP BY a.l, b.l
+)"""
+
+
+def sql_co_purchase(hub_cap: int = 40, top: int = 200) -> str:
+    """Customer co-purchase bipartite projection (hub-capped), top
+    pairs by weight — matches
+    linkgraph.algos.projection.co_purchase_edges."""
+    return (
+        f"WITH {_co_purchase_parts(hub_cap)}\n"
+        "SELECT u, w, weight FROM cpe\n"
+        f"ORDER BY weight DESC, u ASC, w ASC LIMIT {top}"
+    )
+
+
+def sql_nation_assortativity(hub_cap: int = 40) -> str:
+    """Categorical assortativity of the co-purchase graph by customer
+    nation — matches linkgraph.algos.projection.attribute_assortativity
+    (integer dart counts until the single final division)."""
+    return f"""WITH {_co_purchase_parts(hub_cap)},
+cpsym AS MATERIALIZED (
+  SELECT u AS src, w AS dst FROM cpe
+  UNION ALL
+  SELECT w AS src, u AS dst FROM cpe
+),
+darts AS MATERIALIZED (
+  SELECT ca.c_nationkey AS cls_src, cb.c_nationkey AS cls_dst
+  FROM cpsym s JOIN customer ca ON s.src = ca.c_custkey
+               JOIN customer cb ON s.dst = cb.c_custkey
+),
+tot AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN cls_src = cls_dst THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM darts
+),
+sq AS MATERIALIZED (
+  SELECT CAST(sum(c * c) AS BIGINT) AS q FROM (
+    SELECT CAST(count(*) AS BIGINT) AS c FROM darts GROUP BY cls_src
+  )
+)
+SELECT CASE WHEN t * t - q = 0 THEN NULL
+            ELSE round((s * t - q) * 1.0 / (t * t - q), 6) END
+         AS assortativity
+FROM tot, sq"""
+
+
+def sql_subgraph_sample(m: int = 4, salt: str = "sub") -> str:
+    """Deterministic induced-subgraph sample — matches
+    linkgraph.algos.projection.induced_subgraph."""
+    hs = f"('0x' || substr(md5(src || ':{salt}'), 1, 8))::BIGINT % {m}"
+    hd = f"('0x' || substr(md5(dst || ':{salt}'), 1, 8))::BIGINT % {m}"
+    return (
+        f"WITH {EDGES_CTE}\n"
+        f"SELECT src, dst FROM e WHERE {hs} = 0 AND {hd} = 0"
+    )
+
+
+def sql_two_hop_sizes(cap: int = 10000) -> str:
+    """Exact 2-hop neighborhood sizes (capped wedge centers) — matches
+    linkgraph.algos.projection.two_hop_sizes."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {DEG_CTE},
+ctr AS MATERIALIZED (
+  SELECT vid AS z FROM deg WHERE degree >= 2 AND degree <= {cap}
+),
+za AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS u FROM sym s JOIN ctr c ON s.src = c.z
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.u AS u, b.u AS w
+  FROM za a JOIN za b ON a.z = b.z AND a.u != b.u
+),
+far AS MATERIALIZED (
+  SELECT p.u, p.w FROM pairs p
+  LEFT JOIN sym s ON p.u = s.src AND p.w = s.dst
+  WHERE s.src IS NULL
+)
+SELECT u AS vid, CAST(count(*) AS BIGINT) AS n2 FROM far GROUP BY u"""
 
 
 def sql_feature_propagation(quant: int = 1_000_000) -> str:

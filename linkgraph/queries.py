@@ -821,3 +821,40 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_from_lineitem(spark, sf_dir), landmarks=[1, 2, 3, 5],
         fixed_iterations=8,
     )
+
+
+def q_nation_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (Newman) assortativity of the co-purchase graph by
+    customer nation — do customers co-buy within their nation? Integer
+    dart counts until one final division (cross-engine exact)."""
+    from linkgraph.algos.projection import (
+        attribute_assortativity,
+        co_purchase_edges,
+    )
+    from linkgraph.graph import load_table
+
+    cpe = co_purchase_edges(spark, sf_dir, hub_cap=40).select("u", "w")
+    attrs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("vid"), F.col("c_nationkey").alias("cls")
+    )
+    return attribute_assortativity(
+        cpe.select(F.col("u").alias("src"), F.col("w").alias("dst")), attrs
+    )
+
+
+def q_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-sampled induced subgraph (m=4 → ~1/16 edge
+    retention) of the co-occurrence graph — the graph-minibatch /
+    debug-at-scale sampler."""
+    from linkgraph.algos.projection import induced_subgraph
+
+    return induced_subgraph(edges_from_lineitem(spark, sf_dir), m=4)
+
+
+def q_two_hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-vertex 2-hop neighborhood sizes (wedge centers capped
+    at 10000 — non-binding at gate scale, the guard that bounds the
+    fan-out at 100 TB)."""
+    from linkgraph.algos.projection import two_hop_sizes
+
+    return two_hop_sizes(edges_from_lineitem(spark, sf_dir))

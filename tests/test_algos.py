@@ -948,3 +948,57 @@ def test_distance_histogram_on_path(spark, edges_df):
     rows = distance_histogram(e, landmarks=[0], fixed_iterations=4).collect()
     got = {r["dist"]: (r["n_pairs"], r["cum_share"]) for r in rows}
     assert got == {0: (1, 0.25), 1: (1, 0.5), 2: (1, 0.75), 3: (1, 1.0)}
+
+
+def test_attribute_assortativity_hand_computed(spark, edges_df):
+    """Two same-class edges (a-a, b-b) + one cross edge: darts t=6,
+    same s=4, class dart counts c_a=3, c_b=3 → q=18;
+    r = (4·6−18)/(36−18) = 6/18 = 1/3. All-same-class graph → NULL."""
+    from linkgraph.algos.projection import attribute_assortativity
+
+    e = edges_df([(1, 2), (3, 4), (2, 3)])
+    attrs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "vid long, cls string"
+    )
+    r = attribute_assortativity(e, attrs).first()["assortativity"]
+    assert r == round(1 / 3, 6)
+    mono = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a")], "vid long, cls string"
+    )
+    assert attribute_assortativity(e, mono).first()["assortativity"] is None
+
+
+def test_induced_subgraph_matches_python_hash(spark, edges_df):
+    """Edge survives iff md5 keeps BOTH endpoints — mirror in pure
+    Python over a small edge list."""
+    import hashlib
+
+    from linkgraph.algos.projection import induced_subgraph
+
+    def keep(v):
+        return int(hashlib.md5(f"{v}:sub".encode()).hexdigest()[:8], 16) % 3 == 0
+
+    es = [(a, b) for a in range(12) for b in range(a + 1, 12)]
+    got = {
+        (r["src"], r["dst"])
+        for r in induced_subgraph(edges_df(es), m=3).collect()
+    }
+    assert got == {(a, b) for a, b in es if keep(a) and keep(b)}
+    assert got  # non-degenerate: something survived
+
+
+def test_two_hop_sizes_hand_computed(spark, edges_df):
+    """Path 1-2-3-4-5: N2(1)={3}, N2(2)={4}, N2(3)={1,5}, N2(4)={2},
+    N2(5)={3}. Degree-1 leaves still appear as SPOKES u (their center
+    neighbor qualifies); center cap respected."""
+    from linkgraph.algos.projection import two_hop_sizes
+
+    path = edges_df([(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r["vid"]: r["n2"] for r in two_hop_sizes(path).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+    # star: center 0, leaves 1..4 — every leaf pair is 2-hop via 0
+    star = edges_df([(0, i) for i in range(1, 5)])
+    got_s = {r["vid"]: r["n2"] for r in two_hop_sizes(star).collect()}
+    assert got_s == {1: 3, 2: 3, 3: 3, 4: 3}
+    # cap below the center's degree removes the only wedge center
+    assert two_hop_sizes(star, cap=3).count() == 0
