@@ -103,6 +103,40 @@ def main() -> int:
         ))
     )
 
+    # feature propagation: per-dimension integer sums partial-aggregate
+    # map-side (a hub's contributions collapse per input partition)
+    from linkgraph.algos.features import feature_propagation
+    from linkgraph.graph import load_table
+
+    fp = feature_propagation(
+        edges_from_lineitem(spark, SF), load_table(spark, SF, "embeddings")
+    )
+    checks.append(("feature_propagation partial_sum", "partial_sum" in plan(fp)))
+
+    # MIS round: the active-neighbor min is a groupBy partial_min, not
+    # a window — a hub never ships its adjacency into one task
+    from linkgraph.algos.mis import _priority
+    from linkgraph.graph import symmetrize as _symm
+
+    act = (
+        _symm(e).select(F.col("src").alias("vid")).distinct()
+        .select("vid", _priority(F.col("vid"), 985).alias("h"))
+    )
+    nbr_min = (
+        _symm(e).join(act.select(F.col("vid").alias("src"), "h"), "src")
+        .groupBy("dst").agg(F.min("h"))
+    )
+    checks.append(("MIS neighbor-min partial_min", "partial_min" in plan(nbr_min)))
+
+    # two-hop sizes: the final per-vertex count partial-aggregates
+    from linkgraph.algos.projection import two_hop_sizes
+
+    checks.append(
+        ("two_hop_sizes partial_count", "partial_count" in plan(
+            two_hop_sizes(edges_from_lineitem(spark, SF))
+        ))
+    )
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("  OK " if ok else "FAIL ") + name)
