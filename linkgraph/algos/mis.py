@@ -17,25 +17,21 @@ local-min selection is Luby's algorithm derandomized the same way the
 random walks and negative sampler are — reproducible across engines,
 runs, and cluster sizes, so the driver gate value-checks it exactly.
 
-MIS round: an active vertex enters the set iff its priority is
-strictly smaller than every ACTIVE neighbor's; winners and their
-neighbors deactivate. The result is exactly the greedy MIS in
-priority order (lexicographically-first MIS), reached in parallel
-rounds instead of a sequential scan — O(log n) expected rounds.
+Round kernel (shared): an active vertex WINS iff its priority is
+strictly smaller than every ACTIVE neighbor's (no active neighbor →
+automatic win). MIS removes winners and their neighbors each round —
+the result is exactly the greedy MIS in priority order
+(lexicographically-first MIS), reached in O(log n) expected parallel
+rounds. Coloring removes only the winners, assigning color = round
+index (Jones-Plassmann flavor): adjacent vertices can never win the
+same round, so the coloring is proper with ≤ rounds colors.
 
-Coloring round (Jones-Plassmann flavor): an uncolored vertex whose
-priority is a local minimum among UNCOLORED neighbors takes color =
-round index. Adjacent vertices can never win the same round (one of
-them has the larger priority), so the result is a proper coloring
-with at most `rounds` colors; only the winners deactivate (their
-neighbors stay and retry next round).
-
-Scale shape per round (both): two semi/anti-joins of the cached
-symmetric edge list against the shrinking active set + one
-partial-aggregated min — the same budget as a CC superstep; no
-windows, no driver-side state. The active set is rolled through
-localCheckpoint every round (it is referenced twice per round;
-uncheckpointed the plan re-executes 2^rounds — SURVEY.md §4).
+Scale shape per round: two semi/anti-joins of the cached symmetric
+edge list against the shrinking active set + one partial-aggregated
+min (plan-audited: a hub's adjacency collapses map-side, never one
+task). The active set is rolled through localCheckpoint every round
+(it is referenced twice per round; uncheckpointed the plan
+re-executes 2^rounds — SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -57,73 +53,101 @@ def _priority(col, seed: int):
     ).cast("long")
 
 
+def _local_min_rounds(
+    edges: DataFrame,
+    seed: int,
+    rounds: int,
+    out_col: str,
+    remove_neighbors: bool,
+    allow_partial: bool,
+    what: str,
+) -> DataFrame:
+    """Shared local-min round loop (the engine twin of the oracle's
+    ``_mis_rounds``): per round select the active local minima as
+    winners labeled ``out_col = round``; deactivate winners (+ their
+    neighbors when ``remove_neighbors``). Raises on round exhaustion
+    with vertices still active unless ``allow_partial``."""
+    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.rolling import RollingCheckpoint
+
+    roll = RollingCheckpoint()
+    roll_out = RollingCheckpoint()
+    sym = symmetrize(edges).cache()
+    try:
+        active = roll(
+            vertices(edges).select(
+                "vid", _priority(F.col("vid"), seed).alias("h")
+            )
+        )
+        out = None
+        for r in range(1, rounds + 1):
+            nbr_min = (
+                sym.join(active.select(F.col("vid").alias("src"), "h"), "src")
+                .join(active.select(F.col("vid").alias("dst")), "dst")
+                # min over the SOURCE endpoint's priority, grouped by
+                # the destination: for each active vertex, the smallest
+                # active neighbor priority (partial map-side min — a
+                # hub never ships its adjacency into one task)
+                .groupBy("dst")
+                .agg(F.min("h").alias("nbr_h"))
+                .select(F.col("dst").alias("vid"), "nbr_h")
+            )
+            winners = (
+                active.join(nbr_min, "vid", "left")
+                # no active neighbor (isolated in the remaining graph)
+                # → automatic winner
+                .where(F.col("nbr_h").isNull() | (F.col("h") < F.col("nbr_h")))
+                .select("vid")
+                .withColumn(out_col, F.lit(r))
+            )
+            out = roll_out(winners if out is None else out.unionByName(winners))
+            # re-read this round's winners from the MATERIALIZED output
+            # so the join+agg behind `winners` executes exactly once
+            won = out.where(F.col(out_col) == r).select("vid")
+            remaining = active.join(won, "vid", "left_anti")
+            if remove_neighbors:
+                loser = (
+                    sym.join(won.select(F.col("vid").alias("src")), "src")
+                    .select(F.col("dst").alias("vid"))
+                    .distinct()
+                )
+                remaining = remaining.join(loser, "vid", "left_anti")
+            active = roll(remaining)
+            if active.isEmpty():
+                break
+        else:
+            if not allow_partial and not active.isEmpty():
+                raise RuntimeError(
+                    f"{what} did not converge in {rounds} rounds; "
+                    "raise max_rounds or pass allow_partial=True"
+                )
+        return out
+    finally:
+        sym.unpersist()
+
+
 def maximal_independent_set(
     edges: DataFrame,
     seed: int = 985,
     max_rounds: int = 30,
     fixed_iterations: int | None = None,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Greedy (priority-order) maximal independent set of the
     undirected graph. Returns ``DataFrame[vid: long, mis_round: int]``
     — the MIS members and the round each entered.
 
     With ``fixed_iterations`` runs exactly N rounds (driver gate:
-    deterministic work matching the unrolled oracle; callers must pick
-    N ≥ the convergence depth or the set may not be maximal — the
-    engine raises if rounds are exhausted with vertices still active).
+    deterministic work matching the unrolled oracle; the loop still
+    short-circuits once nothing is active). Raises if rounds are
+    exhausted with vertices still active, unless ``allow_partial``
+    (then the returned set is independent but possibly not maximal).
     """
-    from linkgraph.graph import symmetrize, vertices
-    from linkgraph.rolling import RollingCheckpoint
-
     rounds = fixed_iterations if fixed_iterations is not None else max_rounds
-    roll = RollingCheckpoint()
-    roll_out = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
-    active = roll(
-        vertices(edges).select("vid", _priority(F.col("vid"), seed).alias("h"))
+    return _local_min_rounds(
+        edges, seed, rounds, "mis_round",
+        remove_neighbors=True, allow_partial=allow_partial, what="MIS",
     )
-    out = None
-    for r in range(1, rounds + 1):
-        nbr_min = (
-            sym.join(active.select(F.col("vid").alias("src"), "h"), "src")
-            .join(active.select(F.col("vid").alias("dst")), "dst")
-            # min over the SOURCE endpoint's priority, grouped by the
-            # destination: for each active vertex, the smallest active
-            # neighbor priority (partial map-side min — a hub never
-            # ships its adjacency into one task)
-            .groupBy("dst")
-            .agg(F.min("h").alias("nbr_h"))
-            .select(F.col("dst").alias("vid"), "nbr_h")
-        )
-        winners = (
-            active.join(nbr_min, "vid", "left")
-            # no active neighbor (isolated in the remaining graph) →
-            # automatic winner
-            .where(F.col("nbr_h").isNull() | (F.col("h") < F.col("nbr_h")))
-            .select("vid")
-        )
-        picked = winners.withColumn("mis_round", F.lit(r))
-        out = roll_out(picked if out is None else out.unionByName(picked))
-        # re-read this round's winners from the MATERIALIZED output so
-        # the join+agg behind `winners` executes exactly once per round
-        won = out.where(F.col("mis_round") == r).select("vid")
-        # deactivate winners and every neighbor of a winner
-        loser = (
-            sym.join(won.select(F.col("vid").alias("src")), "src")
-            .select(F.col("dst").alias("vid"))
-            .distinct()
-        )
-        active = roll(active.join(won, "vid", "left_anti")
-                      .join(loser, "vid", "left_anti"))
-        if active.isEmpty():
-            break
-    else:
-        if not active.isEmpty():
-            raise RuntimeError(
-                f"MIS did not converge in {rounds} rounds; raise max_rounds"
-            )
-    sym.unpersist()
-    return out
 
 
 def greedy_coloring(
@@ -146,50 +170,9 @@ def greedy_coloring(
     driver gate uses fixed_iterations + allow_partial: an exact
     value-check of N kernel rounds on the dense co-occurrence graph,
     documented as a partial coloring there).
-
-    With ``fixed_iterations`` runs exactly N rounds and returns only
-    the vertices colored within them (deterministic; without
-    ``allow_partial`` the engine raises if rounds are exhausted while
-    vertices remain).
     """
-    from linkgraph.graph import symmetrize, vertices
-    from linkgraph.rolling import RollingCheckpoint
-
     rounds = fixed_iterations if fixed_iterations is not None else max_rounds
-    roll = RollingCheckpoint()
-    roll_out = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
-    active = roll(
-        vertices(edges).select("vid", _priority(F.col("vid"), seed).alias("h"))
+    return _local_min_rounds(
+        edges, seed, rounds, "color",
+        remove_neighbors=False, allow_partial=allow_partial, what="coloring",
     )
-    out = None
-    for r in range(1, rounds + 1):
-        nbr_min = (
-            sym.join(active.select(F.col("vid").alias("src"), "h"), "src")
-            .join(active.select(F.col("vid").alias("dst")), "dst")
-            .groupBy("dst")
-            .agg(F.min("h").alias("nbr_h"))
-            .select(F.col("dst").alias("vid"), "nbr_h")
-        )
-        winners = (
-            active.join(nbr_min, "vid", "left")
-            .where(F.col("nbr_h").isNull() | (F.col("h") < F.col("nbr_h")))
-            .select("vid")
-            .withColumn("color", F.lit(r))
-        )
-        out = roll_out(winners if out is None else out.unionByName(winners))
-        # only the winners leave; their neighbors stay and compete in
-        # the shrunken graph next round (winners re-read from the
-        # materialized output — single execution per round)
-        won = out.where(F.col("color") == r).select("vid")
-        active = roll(active.join(won, "vid", "left_anti"))
-        if active.isEmpty():
-            break
-    else:
-        if not allow_partial and not active.isEmpty():
-            raise RuntimeError(
-                f"coloring did not converge in {rounds} rounds; "
-                "raise max_rounds or pass allow_partial=True"
-            )
-    sym.unpersist()
-    return out

@@ -132,19 +132,22 @@ def attribute_assortativity(
         F.col(vid_col).cast("long").alias("dst"),
         F.col(cls_col).alias("cls_dst"),
     )
-    darts = sym.join(a, "src").join(b, "dst").cache()
-    tot = darts.agg(
-        F.count("*").cast("long").alias("t"),
+    # one pass over the darts: per-class counts carry BOTH the totals
+    # and the squared row sums, so the dart table is consumed exactly
+    # once (no cache to pin/leak)
+    darts = sym.join(a, "src").join(b, "dst")
+    per_cls = darts.groupBy("cls_src").agg(
+        F.count("*").cast("long").alias("c"),
         F.sum((F.col("cls_src") == F.col("cls_dst")).cast("long"))
         .cast("long")
-        .alias("s"),
+        .alias("si"),
     )
-    sq = (
-        darts.groupBy("cls_src")
-        .agg(F.count("*").cast("long").alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("q"))
+    stats = per_cls.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.sum("si").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
     )
-    return tot.crossJoin(sq).select(
+    return stats.select(
         F.round(
             F.try_divide(
                 F.col("s") * F.col("t") - F.col("q"),

@@ -949,11 +949,12 @@ def _mis_rounds(iters: int, seed: int, remove_neighbors: bool) -> list[str]:
     return parts
 
 
-def sql_mis(iters: int = 12, seed: int = 985) -> str:
+def sql_mis(iters: int = 16, seed: int = 985) -> str:
     """Greedy (static-priority) maximal independent set — matches
     linkgraph.algos.mis.maximal_independent_set at
     fixed_iterations=iters (measured convergence: 4 rounds at
-    sf0.001, 8 at sf0.01)."""
+    sf0.001, 8 at sf0.01; 16 gives headroom — converged rounds emit
+    empty win CTEs on both sides)."""
     parts = _mis_rounds(iters, seed, remove_neighbors=True)
     union = "\nUNION ALL\n".join(
         f"SELECT vid, {i} AS mis_round FROM win{i}" for i in range(1, iters + 1)
@@ -974,27 +975,12 @@ def sql_coloring(iters: int = 12, seed: int = 985) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
-DIRECTED_EDGES_CTE = """dli AS MATERIALIZED (
-  SELECT l_orderkey, l_linenumber, CAST(l_partkey AS BIGINT) AS pk,
-         lead(CAST(l_partkey AS BIGINT)) OVER (
-           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
-         ) AS nxt
-  FROM lineitem
-),
-de AS MATERIALIZED (
-  SELECT DISTINCT pk AS src, nxt AS dst FROM dli
-  WHERE nxt IS NOT NULL AND nxt != pk
-    AND (pk < nxt OR
-         ('0x' || substr(md5(pk || ':' || nxt || ':scc'), 1, 8))::BIGINT % 64 = 0)
-)"""
-
-
 def sql_reciprocity() -> str:
     """Directed order-sequence graph census — matches
     linkgraph.algos.projection.reciprocity over
-    graph.directed_edges_from_lineitem (same lead() total order and
-    md5-sampled back edges)."""
-    return f"""WITH {DIRECTED_EDGES_CTE},
+    graph.directed_edges_from_lineitem (shares DIRECTED_CTE with the
+    hits/scc oracles — one SQL mirror of the directed derivation)."""
+    return f"""WITH {DIRECTED_CTE},
 flg AS MATERIALIZED (
   SELECT a.src, a.dst, CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS has_rev
   FROM de a LEFT JOIN de b ON a.src = b.dst AND a.dst = b.src

@@ -753,13 +753,16 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy maximal independent set (static md5 priorities, fixed 12
+    """Greedy maximal independent set (static md5 priorities, fixed 16
     local-min rounds — measured convergence 4/8 rounds at the two gate
-    scales; unrolled-CTE oracle)."""
+    scales, doubled headroom for the density trend since the engine
+    raises on exhaustion; converged rounds cost nothing, the loop
+    short-circuits once the active set empties; unrolled-CTE
+    oracle)."""
     from linkgraph.algos.mis import maximal_independent_set
 
     return maximal_independent_set(
-        edges_from_lineitem(spark, sf_dir), fixed_iterations=12
+        edges_from_lineitem(spark, sf_dir), fixed_iterations=16
     )
 
 

@@ -279,12 +279,19 @@ def read_weighted_edge_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def strength_stream(edges: DataFrame) -> DataFrame:
-    """Streaming twin of the ``vertex_strength`` batch query: a
-    continuously-maintained (degree, strength=Σ incident weight)
+    """Continuously-maintained (degree, strength=Σ incident weight)
     table over an arriving weighted edge feed. Same shape as
     ``degree_stream`` — map-side partial aggregation per micro-batch
     folding into keyed state sharded by vid — with a second summed
-    column. Self-loops excluded (batch contract)."""
+    column. Self-loops excluded (batch contract).
+
+    Semantics: every ARRIVING row counts — a pair delivered twice
+    contributes 2 to each endpoint's degree and both weights to
+    strength (interaction-count semantics). That matches the batch
+    ``vertex_strength`` query only when the feed carries one row per
+    distinct pair (the batch query's input is pre-collapsed by
+    ``weighted_edges_from_events``); deduplicate upstream if
+    distinct-neighbor degrees are needed."""
     clean = edges.where(F.col("src") != F.col("dst"))
     sym = clean.select(
         F.col("src").alias("vid"), "weight"
