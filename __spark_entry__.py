@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_assortativity": q.q_nation_assortativity,
         "subgraph_sample": q.q_subgraph_sample,
         "two_hop_sizes": q.q_two_hop_sizes,
+        "modularity": q.q_modularity,
+        "transitivity": q.q_transitivity,
+        "component_sizes": q.q_component_sizes,
+        "powerlaw_alpha": q.q_powerlaw_alpha,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -220,6 +224,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_assortativity": o.sql_nation_assortativity(),
         "subgraph_sample": o.sql_subgraph_sample(),
         "two_hop_sizes": o.sql_two_hop_sizes(),
+        "modularity": o.sql_modularity(),
+        "transitivity": o.sql_transitivity(),
+        "component_sizes": o.sql_component_sizes(),
+        "powerlaw_alpha": o.sql_powerlaw_alpha(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

@@ -158,6 +158,55 @@ def attribute_assortativity(
     )
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex labeling (community
+    assignment) over the undirected graph — the community-quality
+    score that grades an LPA/partitioner run the way replication
+    factor grades an edge cut.
+
+    Q = Σ_c [ in_c/(2m) − (D_c/(2m))² ] over communities c, with
+    in_c the intra-community darts and D_c the community's total
+    degree. Spelled in INTEGER dart counts until one final division —
+    Q = (s·t − q)/t² with t = 2m darts total, s = Σ in_c,
+    q = Σ D_c² — so both engines divide the same two longs and the
+    rounded double matches exactly (same trick as
+    ``attribute_assortativity``; reference logs its partition quality
+    from the same kind of integer tallies, partitioning/metrics.cpp).
+
+    Scale shape: two label joins shuffle-keyed on the endpoints, one
+    partial-aggregated groupBy(label) (a mega-community collapses
+    map-side), one scalar aggregate. No windows, no driver state.
+    """
+    from linkgraph.graph import symmetrize
+
+    sym = symmetrize(edges)
+    a = labels.select(F.col("vid").alias("src"), F.col("label").alias("lab_src"))
+    b = labels.select(F.col("vid").alias("dst"), F.col("label").alias("lab_dst"))
+    darts = sym.join(a, "src").join(b, "dst")
+    per_cls = darts.groupBy("lab_src").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum((F.col("lab_src") == F.col("lab_dst")).cast("long"))
+        .cast("long")
+        .alias("si"),
+    )
+    stats = per_cls.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("c").cast("long").alias("t"),
+        F.sum("si").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    return stats.select(
+        "n_communities",
+        F.round(
+            F.try_divide(
+                F.col("s") * F.col("t") - F.col("q"),
+                F.col("t") * F.col("t"),
+            ),
+            6,
+        ).alias("modularity"),
+    )
+
+
 def induced_subgraph(edges: DataFrame, m: int = 4, salt: str = "sub") -> DataFrame:
     """Deterministic vertex-sampled induced subgraph (graph
     minibatching / debug-at-scale): keep vertex v iff

@@ -70,3 +70,29 @@ def triangle_total(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
     return triangle_list(edges, degree_oriented).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def transitivity(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
+    """Global transitivity (graph clustering coefficient):
+    3·triangles / wedges, the closed-wedge fraction — the one-row
+    census companion to the per-vertex ``clustering_coefficients``.
+
+    Wedges are tallied per vertex as d(d−1) div 2 (integer division
+    per row — exact even when Σd² would overflow a double's 53-bit
+    mantissa at web scale), so both engines divide the same two longs.
+    NULL on wedge-free graphs (a perfect matching). Cost: one
+    triangle enumeration + one degree aggregate.
+    """
+    from linkgraph.graph import degrees
+
+    tri = triangle_total(edges, degree_oriented)
+    wedges = degrees(edges).agg(
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.try_divide(F.lit(3) * F.col("n_triangles"), F.col("n_wedges")), 6
+        ).alias("transitivity"),
+    )

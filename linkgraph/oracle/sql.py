@@ -153,7 +153,9 @@ def sql_components(iters: int = CC_ITERS) -> str:
     )
 
 
-def sql_label_propagation(iters: int = LPA_ITERS) -> str:
+def _lpa_parts(iters: int) -> list[str]:
+    """Unrolled synchronous-LPA CTE chain p0..p{iters} (shared by the
+    label_propagation and modularity oracles)."""
     parts = [
         EDGES_CTE,
         SYM_CTE,
@@ -174,7 +176,46 @@ def sql_label_propagation(iters: int = LPA_ITERS) -> str:
   ) WHERE rn = 1
 )"""
         )
+    return parts
+
+
+def sql_label_propagation(iters: int = LPA_ITERS) -> str:
+    parts = _lpa_parts(iters)
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM p{iters}"
+
+
+def sql_modularity(iters: int = LPA_ITERS) -> str:
+    """Newman modularity of the LPA labeling — matches
+    linkgraph.algos.projection.modularity over the LPA_ITERS-round
+    labels (integer dart tallies, one final division)."""
+    parts = _lpa_parts(iters)
+    parts.append(
+        f"""md AS MATERIALIZED (
+  SELECT la.label AS lab, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS si
+  FROM sym s JOIN p{iters} la ON s.src = la.vid
+             JOIN p{iters} lb ON s.dst = lb.vid
+  GROUP BY la.label
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CASE WHEN sum(c) = 0 THEN NULL
+            ELSE round((sum(si) * sum(c) - sum(c * c)) * 1.0
+                       / (sum(c) * sum(c)), 6) END AS modularity
+FROM md"""
+    )
+
+
+def sql_component_sizes(iters: int = CC_ITERS) -> str:
+    """Component-size histogram — matches queries.q_component_sizes
+    (the CC chain grouped twice)."""
+    cc = sql_components(iters)
+    return f"""WITH cc AS MATERIALIZED ({cc}),
+cs AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM cc GROUP BY component)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM cs GROUP BY size"""
 
 
 _TRI_CTE = """tri AS MATERIALIZED (
@@ -197,6 +238,30 @@ FROM verts v LEFT JOIN cnts c ON v.vid = c.vid"""
 
 def sql_triangle_total() -> str:
     return f"WITH {EDGES_CTE}, {_TRI_CTE} SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri"
+
+
+def sql_transitivity() -> str:
+    """Global transitivity 3T/wedges — matches
+    linkgraph.algos.triangles.transitivity (per-row integer division
+    for the wedge tally, one final division)."""
+    return f"""WITH {EDGES_CTE}, {DEG_CTE}, {_TRI_CTE},
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+wd AS (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE round(3.0 * n_triangles / n_wedges, 6) END AS transitivity
+FROM tt, wd"""
+
+
+def sql_powerlaw_alpha() -> str:
+    """Continuous power-law MLE exponent over the degree histogram —
+    matches queries.q_powerlaw_alpha (α = 1 + n/Σ cnt·ln d)."""
+    return f"""WITH {EDGES_CTE}, {DEG_CTE},
+dh AS (SELECT degree, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY degree)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_vertices,
+       CASE WHEN sum(cnt * ln(degree)) = 0 THEN NULL
+            ELSE round(1.0 + sum(cnt) / sum(cnt * ln(degree)), 6) END AS alpha
+FROM dh"""
 
 
 def sql_degree_topk() -> str:

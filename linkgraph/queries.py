@@ -861,3 +861,63 @@ def q_two_hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.projection import two_hop_sizes
 
     return two_hop_sizes(edges_from_lineitem(spark, sf_dir))
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community assignment (LPA_ITERS
+    rounds) over the co-occurrence graph — integer dart tallies until
+    one final division; oracle = the LPA unrolled chain + the same
+    tallies."""
+    from linkgraph.algos.lpa import label_propagation
+    from linkgraph.algos.projection import modularity
+
+    e = edges_from_lineitem(spark, sf_dir)
+    return modularity(e, label_propagation(e, iterations=LPA_ITERS))
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (closed-wedge fraction, 3T/wedges) — the
+    one-row census twin of clustering_coefficients; integer triangle
+    and wedge counts, one final division."""
+    from linkgraph.algos.triangles import transitivity
+
+    return transitivity(edges_from_lineitem(spark, sf_dir))
+
+
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution (size → how many components) from
+    the CC_ITERS-round hash-min labeling — the fragmentation
+    histogram a crawl-graph run logs next to the degree histogram."""
+    from linkgraph.algos.cc import connected_components
+
+    e = edges_from_lineitem(spark, sf_dir)
+    comp = connected_components(e, fixed_iterations=CC_ITERS)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_components")
+    )
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous power-law MLE exponent of the degree distribution
+    (α = 1 + n/Σ ln d, d_min = 1) — the one-number heavy-tail gauge
+    that predicts partitioner skew. Summed over the degree HISTOGRAM
+    (cnt·ln d per distinct degree — a few hundred float terms, stable
+    at 6dp), not per vertex."""
+    e = edges_from_lineitem(spark, sf_dir)
+    hist = degrees(e).groupBy("degree").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return hist.agg(
+        F.sum("cnt").cast("long").alias("n_vertices"),
+        F.round(
+            F.lit(1.0)
+            + F.try_divide(
+                F.sum("cnt"),
+                F.sum(F.col("cnt") * F.log(F.col("degree").cast("double"))),
+            ),
+            6,
+        ).alias("alpha"),
+    )

@@ -1002,3 +1002,61 @@ def test_two_hop_sizes_hand_computed(spark, edges_df):
     assert got_s == {1: 3, 2: 3, 3: 3, 4: 3}
     # cap below the center's degree removes the only wedge center
     assert two_hop_sizes(star, cap=3).count() == 0
+
+
+def test_modularity_hand_computed(spark, edges_df):
+    """Two disjoint triangles, labels = component: t=12 darts, every
+    dart intra (s=12), D_c=6 each → q=72; Q=(12·12−72)/144 = 0.5.
+    Everything one community → Q = 0 exactly."""
+    from linkgraph.algos.projection import modularity
+
+    e = edges_df([(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    labs = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "vid long, label long",
+    )
+    row = modularity(e, labs).first()
+    assert row["n_communities"] == 2
+    assert row["modularity"] == 0.5
+    one = spark.createDataFrame(
+        [(v, 7) for v in range(1, 7)], "vid long, label long"
+    )
+    assert modularity(e, one).first()["modularity"] == 0.0
+
+
+def test_transitivity_hand_computed(spark, edges_df):
+    """Triangle {1,2,3} + pendant 3-4: T=1, degrees (2,2,3,1) →
+    wedges 1+1+3+0 = 5 → 3/5. Matching (no wedges) → NULL."""
+    from linkgraph.algos.triangles import transitivity
+
+    e = edges_df([(1, 2), (2, 3), (1, 3), (3, 4)])
+    row = transitivity(e).first()
+    assert (row["n_triangles"], row["n_wedges"]) == (1, 5)
+    assert row["transitivity"] == 0.6
+    m = edges_df([(1, 2), (3, 4)])
+    assert transitivity(m).first()["transitivity"] is None
+
+
+def test_powerlaw_alpha_matches_python(spark, edges_df):
+    """Star 0–{1..4}: α = 1 + 5/ln 4 (only the hub's ln counts)."""
+    import math
+
+    from linkgraph.graph import degrees
+
+    e = edges_df([(0, i) for i in range(1, 5)])
+    hist = degrees(e).groupBy("degree").count()
+    from pyspark.sql import functions as F
+
+    got = (
+        hist.agg(
+            F.round(
+                F.lit(1.0)
+                + F.try_divide(
+                    F.sum("count"),
+                    F.sum(F.col("count") * F.log(F.col("degree").cast("double"))),
+                ),
+                6,
+            ).alias("alpha")
+        ).first()["alpha"]
+    )
+    assert got == round(1 + 5 / math.log(4), 6)
