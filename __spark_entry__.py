@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q.q_transitivity,
         "component_sizes": q.q_component_sizes,
         "powerlaw_alpha": q.q_powerlaw_alpha,
+        "rich_club": q.q_rich_club,
+        "avg_neighbor_degree": q.q_avg_neighbor_degree,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -228,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "transitivity": o.sql_transitivity(),
         "component_sizes": o.sql_component_sizes(),
         "powerlaw_alpha": o.sql_powerlaw_alpha(),
+        "rich_club": o.sql_rich_club(),
+        "avg_neighbor_degree": o.sql_avg_neighbor_degree(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

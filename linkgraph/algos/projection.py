@@ -20,7 +20,7 @@ count. No windows, no driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -204,6 +204,95 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ),
             6,
         ).alias("modularity"),
+    )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve φ(k) = 2·E_k / (N_k·(N_k−1)):
+    for each degree threshold k, how densely the vertices of degree
+    > k connect among themselves (the hubs-talk-to-hubs gauge that,
+    with assortativity, predicts whether degree-based partitioners
+    will co-locate hot edges).
+
+    Spelled in integers until the one final division: a vertex-degree
+    histogram and an edge min-endpoint-degree histogram are suffix-
+    summed over the same degree grid (N_k vertices and E_k edges
+    strictly above k), so both engines divide the same longs. φ is
+    NULL where N_k < 2 (undefined).
+
+    Scale shape: two partial-aggregated histograms (the edge join is
+    shuffle-keyed on the endpoints), then one window over the merged
+    histogram — ≤ #distinct degree values rows (≈10³ even on a
+    10¹²-edge power-law graph), a single small task by design."""
+    from linkgraph.graph import degrees
+
+    deg = degrees(edges)
+    dh = deg.groupBy("degree").agg(F.count("*").cast("long").alias("n"))
+    ds = deg.select(F.col("vid").alias("src"), F.col("degree").alias("d_src"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("degree").alias("d_dst"))
+    eh = (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .select(F.least("d_src", "d_dst").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    # md grid ⊆ degree grid (every min-endpoint degree is some
+    # vertex's degree), so a left join loses nothing
+    hist = dh.join(eh, "degree", "left").select(
+        "degree", "n", F.coalesce("m", F.lit(0)).cast("long").alias("m")
+    )
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.col("degree").alias("k"),
+        (F.sum("n").over(w) - F.col("n")).cast("long").alias("n_rich"),
+        (F.sum("m").over(w) - F.col("m")).cast("long").alias("e_rich"),
+    )
+    return cum.select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.round(
+            F.try_divide(
+                F.lit(2) * F.col("e_rich"),
+                F.col("n_rich") * (F.col("n_rich") - F.lit(1)),
+            ),
+            6,
+        ).alias("rich_club"),
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve k_nn(k): for each degree value k, the
+    mean neighbor degree averaged over all darts leaving degree-k
+    vertices (Pastor-Satorras convention — dart-weighted, so the
+    whole curve is two integer sums per k until one division).
+    Rising curve = assortative mixing, falling = hub-leaf.
+
+    Scale shape: one degree join on the dart list + one partial-
+    aggregated groupBy(degree) — the same budget as the degree
+    histogram; no windows, no driver state."""
+    from linkgraph.graph import degrees, symmetrize
+
+    deg = degrees(edges)
+    sym = symmetrize(edges)
+    ds = deg.select(F.col("vid").alias("src"), F.col("degree").alias("d_src"))
+    dd = deg.select(F.col("vid").alias("dst"), F.col("degree").alias("d_dst"))
+    darts = sym.join(ds, "src").join(dd, "dst")
+    return (
+        darts.groupBy(F.col("d_src").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_darts"),
+            F.sum("d_dst").cast("long").alias("sum_nbr_deg"),
+        )
+        .select(
+            "k",
+            "n_darts",
+            F.round(F.try_divide(F.col("sum_nbr_deg"), F.col("n_darts")), 6)
+            .alias("knn_mean"),
+        )
     )
 
 

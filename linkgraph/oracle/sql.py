@@ -253,6 +253,45 @@ SELECT n_triangles, n_wedges,
 FROM tt, wd"""
 
 
+def sql_rich_club() -> str:
+    """Rich-club curve — matches linkgraph.algos.projection.rich_club
+    (suffix sums over the merged degree/min-endpoint histograms)."""
+    return f"""WITH {EDGES_CTE}, {DEG_CTE},
+dh AS (SELECT degree, CAST(count(*) AS BIGINT) AS n FROM deg GROUP BY degree),
+eh AS (
+  SELECT least(ds.degree, dd.degree) AS degree, CAST(count(*) AS BIGINT) AS m
+  FROM e JOIN deg ds ON e.src = ds.vid JOIN deg dd ON e.dst = dd.vid
+  GROUP BY 1
+),
+hist AS (
+  SELECT dh.degree, dh.n, CAST(coalesce(eh.m, 0) AS BIGINT) AS m
+  FROM dh LEFT JOIN eh ON dh.degree = eh.degree
+),
+cum AS (
+  SELECT degree AS k,
+         CAST(sum(n) OVER w - n AS BIGINT) AS n_rich,
+         CAST(sum(m) OVER w - m AS BIGINT) AS e_rich
+  FROM hist
+  WINDOW w AS (ORDER BY degree DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich < 2 THEN NULL
+            ELSE round(2.0 * e_rich / (n_rich * (n_rich - 1)), 6) END AS rich_club
+FROM cum"""
+
+
+def sql_avg_neighbor_degree() -> str:
+    """k_nn(k) degree-correlation curve — matches
+    linkgraph.algos.projection.avg_neighbor_degree (dart-weighted,
+    integer sums until one division)."""
+    return f"""WITH {EDGES_CTE}, {SYM_CTE}, {DEG_CTE}
+SELECT ds.degree AS k,
+       CAST(count(*) AS BIGINT) AS n_darts,
+       round(sum(dd.degree) * 1.0 / count(*), 6) AS knn_mean
+FROM sym s JOIN deg ds ON s.src = ds.vid JOIN deg dd ON s.dst = dd.vid
+GROUP BY ds.degree"""
+
+
 def sql_powerlaw_alpha() -> str:
     """Continuous power-law MLE exponent over the degree histogram —
     matches queries.q_powerlaw_alpha (α = 1 + n/Σ cnt·ln d)."""

@@ -900,6 +900,22 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve φ(k) over the co-occurrence graph
+    — integer suffix-summed histograms, one division per row."""
+    from linkgraph.algos.projection import rich_club
+
+    return rich_club(edges_from_lineitem(spark, sf_dir))
+
+
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation curve k_nn(k) (dart-weighted mean neighbor
+    degree per degree value) — integer sums until one division."""
+    from linkgraph.algos.projection import avg_neighbor_degree
+
+    return avg_neighbor_degree(edges_from_lineitem(spark, sf_dir))
+
+
 def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous power-law MLE exponent of the degree distribution
     (α = 1 + n/Σ ln d, d_min = 1) — the one-number heavy-tail gauge

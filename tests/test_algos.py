@@ -1060,3 +1060,27 @@ def test_powerlaw_alpha_matches_python(spark, edges_df):
         ).first()["alpha"]
     )
     assert got == round(1 + 5 / math.log(4), 6)
+
+
+def test_rich_club_hand_computed(spark, edges_df):
+    """Triangle {1,2,3} + pendant 3-4: k grid {1,2,3}. k=1 → the
+    triangle's 3 vertices with all 3 edges inside: φ=1. k=2 → only
+    vertex 3 remains (N<2 → NULL). k=3 → empty club."""
+    from linkgraph.algos.projection import rich_club
+
+    e = edges_df([(1, 2), (2, 3), (1, 3), (3, 4)])
+    rows = {r["k"]: r for r in rich_club(e).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_rich"], rows[1]["e_rich"], rows[1]["rich_club"]) == (3, 3, 1.0)
+    assert rows[2]["n_rich"] == 1 and rows[2]["rich_club"] is None
+    assert rows[3]["n_rich"] == 0 and rows[3]["rich_club"] is None
+
+
+def test_avg_neighbor_degree_hand_computed(spark, edges_df):
+    """Path 1-2-3: degree-1 endpoints see only the center (knn=2);
+    the center's two darts see leaves (knn=1)."""
+    from linkgraph.algos.projection import avg_neighbor_degree
+
+    e = edges_df([(1, 2), (2, 3)])
+    rows = {r["k"]: (r["n_darts"], r["knn_mean"]) for r in avg_neighbor_degree(e).collect()}
+    assert rows == {1: (2, 2.0), 2: (2, 1.0)}
