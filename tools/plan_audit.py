@@ -137,6 +137,33 @@ def main() -> int:
         ))
     )
 
+    # modularity: the per-community dart tally partial-aggregates
+    # map-side (a mega-community collapses per input partition)
+    from linkgraph.algos.lpa import label_propagation
+    from linkgraph.algos.projection import avg_neighbor_degree, modularity, rich_club
+
+    el = edges_from_lineitem(spark, SF)
+    labs = label_propagation(el, iterations=1)
+    checks.append(
+        ("modularity partial_sum", "partial_sum" in plan(modularity(el, labs)))
+    )
+
+    # rich_club: the only window runs AFTER both histogram aggregates
+    # (input ≤ #distinct degrees); histograms partial-count map-side
+    rc = plan(rich_club(el))
+    checks.append(("rich_club partial_count", "partial_count" in rc))
+    checks.append(
+        ("rich_club window above aggregate", "Window" in rc
+         and rc.index("Window") < rc.index("HashAggregate"))
+    )
+
+    # avg_neighbor_degree: dart tally partial-aggregates
+    checks.append(
+        ("avg_neighbor_degree partial_sum", "partial_sum" in plan(
+            avg_neighbor_degree(el)
+        ))
+    )
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("  OK " if ok else "FAIL ") + name)
