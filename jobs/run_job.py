@@ -6,7 +6,8 @@
         --checkpoint-dir /tmp/lg-ckpt --run-id demo --iterations 10
 
 Jobs: pagerank | cc | lpa | triangles | partition | extract |
-metrics | scc | bfs | kcore | walks | node2vec | clustering.
+metrics | scc | bfs | kcore | walks | node2vec | clustering |
+census | modularity.
 All iterative jobs checkpoint per superstep and resume from the last
 complete snapshot when re-launched with the same --run-id.
 """
@@ -27,7 +28,8 @@ def main() -> None:
                     choices=["pagerank", "cc", "lpa", "triangles",
                              "partition", "metrics", "extract",
                              "scc", "bfs", "kcore", "walks",
-                             "node2vec", "clustering"])
+                             "node2vec", "clustering", "census",
+                             "modularity"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--checkpoint-dir", default="/tmp/linkgraph-ckpt")
     ap.add_argument("--run-id", default="run0")
@@ -114,6 +116,24 @@ def main() -> None:
         from linkgraph.algos.clustering import clustering_coefficients
 
         out = clustering_coefficients(edges)
+    elif args.job == "census":
+        # one-row structural readout: size + closure + heavy-tail —
+        # the log line a crawl-graph run opens with
+        from linkgraph.algos.triangles import transitivity
+        from linkgraph.queries import q_graph_summary, q_powerlaw_alpha
+
+        out = (
+            q_graph_summary(spark, args.sf_dir)
+            .crossJoin(transitivity(edges))
+            .crossJoin(q_powerlaw_alpha(spark, args.sf_dir).select("alpha"))
+        )
+    elif args.job == "modularity":
+        from linkgraph.algos.lpa import label_propagation
+        from linkgraph.algos.projection import modularity
+
+        out = modularity(
+            edges, label_propagation(edges, iterations=args.iterations)
+        )
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
