@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q.q_powerlaw_alpha,
         "rich_club": q.q_rich_club,
         "avg_neighbor_degree": q.q_avg_neighbor_degree,
+        "eccentricity_lb": q.q_eccentricity_lb,
         # -- core scan/extract/metrics (cheap, long green) ------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_alpha": o.sql_powerlaw_alpha(),
         "rich_club": o.sql_rich_club(),
         "avg_neighbor_degree": o.sql_avg_neighbor_degree(),
+        "eccentricity_lb": o.sql_eccentricity_lb(),
         "k_core": o.sql_k_core(),
         "adamic_adar": o.sql_adamic_adar(),
         "negative_samples": o.sql_negative_samples(),

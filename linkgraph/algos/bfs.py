@@ -91,6 +91,24 @@ def harmonic_centrality(
     )
 
 
+def eccentricity_lb(
+    edges: DataFrame,
+    landmarks: list[int],
+    fixed_iterations: int = 8,
+) -> DataFrame:
+    """Landmark eccentricity lower bound: ecc(v) ≥ max_{s∈L} d(s, v)
+    — the double-sweep-style per-vertex diameter diagnostic (the max
+    over any landmark set is a valid lower bound; the graph's true
+    diameter ≥ the largest value emitted). Integer max over the
+    shared landmark-BFS state — exact cross-engine; one extra
+    partial-aggregated max on top of ``landmark_distances``."""
+    d = landmark_distances(edges, landmarks, fixed_iterations)
+    return d.groupBy("vid").agg(
+        F.count("*").cast("long").alias("n_landmarks"),
+        F.max("dist").cast("long").alias("ecc_lb"),
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: list[int],

@@ -825,6 +825,19 @@ FROM hist"""
     )
 
 
+def sql_eccentricity_lb(landmarks=(1, 2, 3, 5), iters: int = 8) -> str:
+    """Mirror of linkgraph.algos.bfs.eccentricity_lb: the shared
+    landmark-BFS chain aggregated to a per-vertex integer max."""
+    parts = _landmark_bfs_parts(landmarks, iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT vid, CAST(count(*) AS BIGINT) AS n_landmarks,
+       CAST(max(dist) AS BIGINT) AS ecc_lb
+FROM hd{iters} GROUP BY vid"""
+    )
+
+
 def sql_hits(iters: int = PR_ITERS) -> str:
     """Mirror of linkgraph.algos.hits.hits over the directed
     order-sequence graph: per half-step join + sum + L1

@@ -900,6 +900,18 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eccentricity_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex eccentricity lower bound (max distance over the
+    {1,2,3,5} landmark set, 8 fixed BFS rounds — shares the
+    harmonic-centrality unrolled oracle chain)."""
+    from linkgraph.algos.bfs import eccentricity_lb
+
+    return eccentricity_lb(
+        edges_from_lineitem(spark, sf_dir), landmarks=[1, 2, 3, 5],
+        fixed_iterations=8,
+    )
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient curve φ(k) over the co-occurrence graph
     — integer suffix-summed histograms, one division per row."""

@@ -1084,3 +1084,17 @@ def test_avg_neighbor_degree_hand_computed(spark, edges_df):
     e = edges_df([(1, 2), (2, 3)])
     rows = {r["k"]: (r["n_darts"], r["knn_mean"]) for r in avg_neighbor_degree(e).collect()}
     assert rows == {1: (2, 2.0), 2: (2, 1.0)}
+
+
+def test_eccentricity_lb_path(spark, edges_df):
+    """Path 1..5, landmarks {1,5}: ecc_lb = max(dist to either end)
+    — exactly the true eccentricity on a path with both ends as
+    landmarks."""
+    from linkgraph.algos.bfs import eccentricity_lb
+
+    e = edges_df([(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        r["vid"]: (r["n_landmarks"], r["ecc_lb"])
+        for r in eccentricity_lb(e, landmarks=[1, 5]).collect()
+    }
+    assert got == {1: (2, 4), 2: (2, 3), 3: (2, 2), 4: (2, 3), 5: (2, 4)}
