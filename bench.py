@@ -235,6 +235,18 @@ def run_suite(master: str | None = None) -> dict:
             lambda: node2vec_walks(edges, walk_len=3).count(),
         )
 
+        # census block: LPA modularity (community quality over the
+        # 4-round labeling — two label joins + one tally)
+        from linkgraph.algos.lpa import label_propagation
+        from linkgraph.algos.projection import modularity
+
+        extras["modularity_q"] = best_of(
+            "modularity_lpa4",
+            lambda: modularity(
+                edges, label_propagation(edges, iterations=4)
+            ).first()["modularity"],
+        )
+
         # pipeline ops on the documents table (SimHash: single-agg
         # bitwise formulation; LSH: bucket join with mega-bucket cap)
         from linkgraph.pipeline.dedup import minhash_lsh_candidates, simhash
