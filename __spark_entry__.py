@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": q.q_distance_histogram,
         "chunk_documents": pq.q_chunk_documents,
         "mixture_weights": pq.q_mixture_weights,
+        "source_lang_entropy": pq.q_source_lang_entropy,
+        "dup_rate_by_source": pq.q_dup_rate_by_source,
         "nation_assortativity": q.q_nation_assortativity,
         "subgraph_sample": q.q_subgraph_sample,
         "two_hop_sizes": q.q_two_hop_sizes,
@@ -224,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "distance_histogram": o.sql_distance_histogram(),
         "chunk_documents": po.sql_chunk_documents(),
         "mixture_weights": po.sql_mixture_weights(),
+        "source_lang_entropy": po.sql_source_lang_entropy(),
+        "dup_rate_by_source": po.sql_dup_rate_by_source(),
         "nation_assortativity": o.sql_nation_assortativity(),
         "subgraph_sample": o.sql_subgraph_sample(),
         "two_hop_sizes": o.sql_two_hop_sizes(),

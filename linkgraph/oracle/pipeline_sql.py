@@ -523,3 +523,26 @@ SELECT lang, n_docs,
                                      PRECEDING AND UNBOUNDED FOLLOWING), 6)
          AS mix_weight
 FROM counts"""
+
+
+def sql_source_lang_entropy() -> str:
+    """Per-source language-mix entropy — matches
+    linkgraph.pipeline.sampling.source_lang_entropy (integer counts,
+    H = ln t − Σ c·ln c / t)."""
+    return """WITH per AS MATERIALIZED (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS lang_entropy
+FROM per GROUP BY source"""
+
+
+def sql_dup_rate_by_source() -> str:
+    """Per-source exact-duplicate rate — matches
+    linkgraph.pipeline.dedup.dup_rate_by_source."""
+    return """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate
+FROM documents GROUP BY source"""

@@ -252,3 +252,24 @@ def dedup_clusters(
             F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
         )
     )
+
+
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate rate — the contamination dashboard
+    row a corpus run logs per domain: docs, distinct contents, and
+    1 − distinct/docs. Integer counts until the one final division.
+
+    Scale shape: one groupBy(source) with a count-distinct (Spark
+    expands it to the standard two-phase partial aggregate keyed on
+    (source, hash)); no windows, no driver state."""
+    return docs.select("source", F.md5(F.col("text")).alias("h")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.countDistinct("h"), F.count("*")),
+            6,
+        ).alias("dup_rate"),
+    )

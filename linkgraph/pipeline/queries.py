@@ -134,3 +134,13 @@ def q_mixture_weights(spark, sf_dir):
     from linkgraph.pipeline import sampling
 
     return sampling.mixture_weights(_docs(spark, sf_dir))
+
+
+def q_source_lang_entropy(spark, sf_dir):
+    from linkgraph.pipeline import sampling
+
+    return sampling.source_lang_entropy(_docs(spark, sf_dir))
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    return dedup.dup_rate_by_source(_docs(spark, sf_dir))

@@ -229,3 +229,30 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
             F.sqrt("n_docs") / F.sum(F.sqrt("n_docs")).over(w), 6
         ).alias("mix_weight"),
     )
+
+
+def source_lang_entropy(docs: DataFrame) -> DataFrame:
+    """Per-source Shannon entropy (nats) of the language mix — the
+    mixture-diagnostics readout next to ``mixture_weights``: 0 for a
+    monolingual domain, ln(n_langs) for a uniform mix. Integer counts
+    feed H = ln(t) − Σ c·ln(c)/t in one pass; the ln sum has
+    ≤ n_langs terms per source (a handful), so the 6-decimal rounding
+    is reduction-order-stable cross-engine.
+
+    Scale shape: two stacked partial-aggregated groupBys — the
+    (source, lang) tally collapses map-side; no windows."""
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return per.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.try_divide(
+                F.sum(F.col("c") * F.log(F.col("c").cast("double"))),
+                F.sum("c"),
+            ),
+            6,
+        ).alias("lang_entropy"),
+    )

@@ -568,3 +568,40 @@ def test_mixture_weights_hand_computed(spark):
         for r in mixture_weights(docs).collect()
     }
     assert got == {"en": (4, round(2 / 3, 6)), "fr": (1, round(1 / 3, 6))}
+
+
+def test_source_lang_entropy_hand_computed(spark):
+    """Monolingual source → H=0; a 2:1 en/fr source →
+    H = ln3 − (2·ln2)/3."""
+    import math
+
+    from linkgraph.pipeline.sampling import source_lang_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a", "en"), (3, "a", "en"),
+         (4, "b", "en"), (5, "b", "en"), (6, "b", "fr")],
+        "doc_id long, source string, lang string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_langs"], r["lang_entropy"])
+        for r in source_lang_entropy(docs).collect()
+    }
+    assert got["a"] == (3, 1, 0.0)
+    assert got["b"] == (3, 2, round(math.log(3) - 2 * math.log(2) / 3, 6))
+
+
+def test_dup_rate_by_source_hand_computed(spark):
+    """Source with 3 docs, 2 identical → dup_rate 1/3; all-distinct
+    source → 0."""
+    from linkgraph.pipeline.dedup import dup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+         (4, "b", "p"), (5, "b", "q")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_distinct"], r["dup_rate"])
+        for r in dup_rate_by_source(docs).collect()
+    }
+    assert got == {"a": (3, 2, round(1 / 3, 6)), "b": (2, 2, 0.0)}
