@@ -38,6 +38,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # partitioner family LAST (its correctness is re-provable any
     # round via tools/selfcheck.py).
     return {
+        # -- newest (least driver evidence) first ----------------------
+        "dup_ngram_coverage": pq.q_dup_ngram_coverage,
+        "dedup_canonical": pq.q_dedup_canonical,
+        "hll_distinct": pq.q_hll_distinct,
+        "heavy_hitters": pq.q_heavy_hitters,
+        "bigram_logprob": pq.q_bigram_logprob,
+        "degree_quantiles": q.q_degree_quantiles,
+        "butterflies": q.q_butterflies,
+        "topo_levels": q.q_topo_levels,
         # -- never driver-checked before round 5 ----------------------
         "stratified_sample": pq.q_stratified_sample,
         "sample_rates": pq.q_sample_rates,
@@ -159,6 +168,14 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.oracle import pipeline_sql as po
 
     return {
+        "dup_ngram_coverage": po.sql_dup_ngram_coverage(),
+        "dedup_canonical": po.sql_dedup_canonical(),
+        "hll_distinct": po.sql_hll_distinct(),
+        "heavy_hitters": po.sql_heavy_hitters(),
+        "bigram_logprob": po.sql_bigram_logprob(),
+        "degree_quantiles": o.sql_degree_quantiles(),
+        "butterflies": o.sql_butterflies(),
+        "topo_levels": o.sql_topo_levels(),
         # sequential partitioners: deterministic under the fixed seed,
         # so the expected output is generated by the pure-Python oracle
         # at build time and emitted as a VALUES literal (full

@@ -342,3 +342,23 @@ def two_hop_sizes(edges: DataFrame, cap: int = 10000) -> DataFrame:
     return far.groupBy(F.col("u").alias("vid")).agg(
         F.count("*").cast("long").alias("n2")
     )
+
+
+def butterflies(edges: DataFrame) -> DataFrame:
+    """Bipartite butterfly (2x2 biclique / 4-cycle) census from a
+    weighted one-mode projection: a left pair sharing ``weight``
+    right-side entities closes C(weight, 2) butterflies, so the global
+    count is one integer fold over the projection — the standard
+    bipartite clustering denominator (Sanei-Mehri et al., KDD'18)
+    computed without ever materializing 4-cycles.
+
+    Scale shape: inherits the projection's hub-cap guard; this step
+    itself is a single partial-aggregating SUM. weight*(weight-1) is
+    always even, so the ``div 2`` stays in exact integer arithmetic.
+    """
+    return edges.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.expr("(weight * (weight - 1)) div 2"))
+        .cast("long")
+        .alias("n_butterflies"),
+    )

@@ -546,3 +546,143 @@ def sql_dup_rate_by_source() -> str:
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
        round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate
 FROM documents GROUP BY source"""
+
+
+def sql_dup_ngram_coverage() -> str:
+    """Cross-corpus shingle duplication coverage per doc — matches
+    linkgraph.pipeline.dedup.dup_ngram_coverage (same shingle CTEs as
+    MinHash)."""
+    return f"""WITH {TOKENS_CTE},
+{SHINGLES_CTE},
+df AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS ndocs FROM sh GROUP BY s
+),
+per AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM sh JOIN df USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared,
+  round(per.n_shared * 1.0 / per.n_shingles, 6) AS shared_ratio
+FROM documents d LEFT JOIN per USING (doc_id)"""
+
+
+def sql_dedup_canonical(iters: int = 6) -> str:
+    """Survivor per duplicate cluster (max n_chars, ties min doc_id) —
+    matches linkgraph.pipeline.dedup.dedup_canonical; the cluster
+    labeling is the sql_dedup_clusters chain as a subquery."""
+    clusters = sql_dedup_clusters(iters)
+    return f"""SELECT cluster_id,
+  CAST(doc_id AS BIGINT) AS survivor_doc_id,
+  CAST(sz AS BIGINT) AS cluster_size,
+  CAST(sz - 1 AS BIGINT) AS n_dropped
+FROM (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS sz
+  FROM ({clusters}) c JOIN documents d USING (doc_id)
+) WHERE rn = 1"""
+
+
+def sql_hll_distinct() -> str:
+    """Per-source HyperLogLog distinct-text estimate + exact + rel_err
+    — matches linkgraph.pipeline.sketches.hll_distinct register for
+    register (m=64, alpha=0.709, rank via minimal-binary length)."""
+    from linkgraph.pipeline.sketches import HLL_ALPHA, HLL_M
+
+    m = HLL_M
+    rest_bits = 32 - (m.bit_length() - 1)
+    amm = f"{HLL_ALPHA} * {m} * {m}"
+    h = _HV.format(col="text")
+    return f"""WITH rows AS MATERIALIZED (
+  SELECT source, h % {m} AS bucket, h // {m} AS rest FROM (
+    SELECT source, {h} AS h FROM documents
+  )
+),
+regs AS MATERIALIZED (
+  SELECT source, bucket,
+         max(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                  ELSE {rest_bits + 1} - length(bin(rest)) END) AS mj
+  FROM rows GROUP BY source, bucket
+),
+folded AS MATERIALIZED (
+  SELECT source, sum(pow(2.0, -mj)) AS z_present, count(*) AS k
+  FROM regs GROUP BY source
+),
+est AS MATERIALIZED (
+  SELECT source,
+    CASE WHEN ({amm} / (z_present + ({m} - k))) <= {2.5 * m}
+              AND ({m} - k) > 0
+         THEN {m} * ln({m}.0 / ({m} - k))
+         ELSE {amm} / (z_present + ({m} - k)) END AS e
+  FROM folded
+),
+exact AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+  FROM documents GROUP BY source
+)
+SELECT exact.source, n_docs, exact_distinct,
+  round(e, 6) AS hll_estimate,
+  round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM est JOIN exact USING (source)"""
+
+
+def sql_heavy_hitters() -> str:
+    """Count-Min estimates for the true top tokens — matches
+    linkgraph.pipeline.sketches.heavy_hitters_cms (D=3 rows, W=128,
+    row hash = md5(i ':' tok) prefix)."""
+    from linkgraph.pipeline.sketches import CMS_D, CMS_TOP, CMS_W
+
+    ilist = ", ".join(str(i) for i in range(CMS_D))
+    bucket = _HV.format(col="i::VARCHAR || ':' || tok") + f" % {CMS_W}"
+    return f"""WITH {TOKENS_CTE},
+tc AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tokens GROUP BY tok
+),
+rws AS MATERIALIZED (
+  SELECT i, {bucket} AS bucket, tok, exact_cnt
+  FROM tc, (SELECT unnest([{ilist}]) AS i)
+),
+cells AS MATERIALIZED (
+  SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell_sum
+  FROM rws GROUP BY i, bucket
+),
+heads AS MATERIALIZED (
+  SELECT tok, exact_cnt FROM tc
+  ORDER BY exact_cnt DESC, tok ASC LIMIT {CMS_TOP}
+)
+SELECT h.tok, h.exact_cnt,
+       CAST(min(cell_sum) AS BIGINT) AS cms_estimate,
+       CAST(min(cell_sum) - h.exact_cnt AS BIGINT) AS overcount
+FROM heads h
+JOIN rws r ON r.tok = h.tok
+JOIN cells c ON c.i = r.i AND c.bucket = r.bucket
+GROUP BY h.tok, h.exact_cnt"""
+
+
+def sql_bigram_logprob() -> str:
+    """Per-doc mean bigram surprisal — matches
+    linkgraph.pipeline.text.bigram_logprob."""
+    return f"""WITH {TOKENS_CTE},
+big AS MATERIALIZED (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tokens
+  ) WHERE w2 IS NOT NULL
+),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+),
+c1 AS MATERIALIZED (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+)
+SELECT doc_id,
+  round(avg(-ln(c2 * 1.0 / c1)), 6) AS mean_bigram_nll,
+  CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id"""

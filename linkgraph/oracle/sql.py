@@ -1222,3 +1222,67 @@ ds AS MATERIALIZED (
 SELECT vid, CAST(max(n) AS BIGINT) AS n_nbrs,
        array_agg(sv ORDER BY pos) AS feat_sum
 FROM ds GROUP BY vid"""
+
+
+def sql_degree_quantiles() -> str:
+    """Nearest-rank degree percentiles from the histogram cumsum —
+    matches linkgraph.queries.q_degree_quantiles (integer rank
+    arithmetic, (q*n+99)//100)."""
+    from linkgraph.queries import DEGREE_QUANTILES
+
+    qlist = ", ".join(str(q) for q in DEGREE_QUANTILES)
+    return f"""WITH {EDGES_CTE}, {DEG_CTE},
+hist AS MATERIALIZED (
+  SELECT degree, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY degree
+),
+cum AS MATERIALIZED (
+  SELECT degree, sum(cnt) OVER (ORDER BY degree) AS cum,
+         (SELECT sum(cnt) FROM hist) AS n
+  FROM hist
+)
+SELECT CAST(q AS BIGINT) AS q, CAST(min(degree) AS BIGINT) AS degree
+FROM (SELECT unnest([{qlist}]) AS q), cum
+WHERE cum >= (q * n + 99) // 100
+GROUP BY q"""
+
+
+def sql_butterflies(hub_cap: int = 40) -> str:
+    """Bipartite butterfly census Σ C(weight,2) over the hub-capped
+    co-purchase projection — matches
+    linkgraph.algos.projection.butterflies."""
+    return f"""WITH {_co_purchase_parts(hub_cap)}
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((weight * (weight - 1)) // 2) AS BIGINT) AS n_butterflies
+FROM cpe"""
+
+
+def sql_topo_levels(depth: int | None = None) -> str:
+    """Bounded longest-path layering on the canonical src<dst DAG,
+    unrolled as a cumulative-max CTE chain — matches
+    linkgraph.algos.dag.topo_levels (frontier-delta relaxation reaches
+    the same ≤depth-edge longest-path fixpoint round by round)."""
+    from linkgraph.queries import TOPO_DEPTH
+
+    d = depth if depth is not None else TOPO_DEPTH
+    parts = [
+        EDGES_CTE,
+        SYM_CTE,
+        VERTS_CTE,
+        "l0 AS (SELECT vid, CAST(0 AS BIGINT) AS level FROM verts)",
+    ]
+    for i in range(1, d + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT vid, max(level) AS level FROM (
+    SELECT vid, level FROM l{i - 1}
+    UNION ALL
+    SELECT e.dst AS vid, p.level + 1 AS level
+    FROM l{i - 1} p JOIN e ON e.src = p.vid
+  ) GROUP BY vid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(level AS BIGINT) AS level FROM l{d}"
+    )

@@ -273,3 +273,77 @@ def dup_rate_by_source(docs: DataFrame) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+def dup_ngram_coverage(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document cross-corpus n-gram duplication coverage: of the
+    document's distinct word n-grams, what fraction also appears in at
+    least one OTHER document. The RefinedWeb/Gopher-style
+    memorization-risk signal — exact-dup and near-dup filters miss
+    partially-copied boilerplate, which this surfaces directly.
+
+    Scale shape: the shingle substrate is the proven MinHash one
+    (distinct shingles per doc); the corpus-wide shingle document-
+    frequency is a single hash aggregate keyed on the shingle, and the
+    join back to the per-doc shingles is co-partitioned on that same
+    key — two shuffles total, no windows over unbounded groups, no
+    driver state. Docs too short to have an n-gram keep a row with
+    zero shingles (ratio NULL) so the output is total over documents.
+    """
+    sh = shingles(docs, n)
+    df = sh.groupBy("s").agg(F.count("*").cast("long").alias("ndocs"))
+    per_doc = (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(F.try_divide(F.col("n_shared"), F.col("n_shingles")), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )
+
+
+def dedup_canonical(docs: DataFrame) -> DataFrame:
+    """Survivor selection — the step that turns duplicate CLUSTERS into
+    an actual deduplicated corpus: one canonical document per cluster,
+    chosen as the longest (``n_chars``, ties to the smallest
+    ``doc_id``). Emits the per-cluster audit row (survivor, cluster
+    size, docs dropped); the production variant joins the survivor ids
+    back to the corpus as the keep-list.
+
+    Scale shape: composes the driver-gated ``dedup_clusters`` with one
+    MAX-of-struct aggregate per cluster — partial aggregation collapses
+    each map task to one candidate row per cluster before the shuffle
+    (no per-cluster window, no skew on mega-clusters).
+    """
+    cl = dedup_clusters(docs)
+    joined = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    agg = joined.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("len"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("doc_id").alias("d"),
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        "cluster_id",
+        F.col("best.d").cast("long").alias("survivor_doc_id"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )

@@ -144,3 +144,27 @@ def q_source_lang_entropy(spark, sf_dir):
 
 def q_dup_rate_by_source(spark, sf_dir):
     return dedup.dup_rate_by_source(_docs(spark, sf_dir))
+
+
+def q_dup_ngram_coverage(spark, sf_dir):
+    return dedup.dup_ngram_coverage(_docs(spark, sf_dir))
+
+
+def q_dedup_canonical(spark, sf_dir):
+    return dedup.dedup_canonical(_docs(spark, sf_dir))
+
+
+def q_hll_distinct(spark, sf_dir):
+    from linkgraph.pipeline import sketches
+
+    return sketches.hll_distinct(_docs(spark, sf_dir))
+
+
+def q_heavy_hitters(spark, sf_dir):
+    from linkgraph.pipeline import sketches
+
+    return sketches.heavy_hitters_cms(_docs(spark, sf_dir))
+
+
+def q_bigram_logprob(spark, sf_dir):
+    return text.bigram_logprob(_docs(spark, sf_dir))

@@ -331,3 +331,39 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length("chunk").cast("long"))
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-bigram surprisal: mean −ln p(w2|w1) per document, with
+    the conditional MLE from the corpus's own bigram table (every
+    bigram is in-vocabulary by construction, so no smoothing — the
+    companion signal to ``unigram_logprob`` that actually notices word
+    ORDER: shuffled boilerplate scores high here while its unigram
+    surprisal is unchanged).
+
+    Scale shape: the bigram construction is a per-doc lead window
+    (bounded by document length), then two hash aggregates — the
+    bigram table keyed on (w1, w2) and its w1 margin — and joins back
+    co-partitioned on those keys. Per-doc fold at the end. No driver
+    state, no unbounded windows.
+    """
+    toks = tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .cache()
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    scored = big.join(c2, ["w1", "w2"]).join(c1, "w1").select(
+        "doc_id", (-F.log(F.col("c2") / F.col("c1"))).alias("nll")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("mean_bigram_nll"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )

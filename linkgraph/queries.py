@@ -949,3 +949,58 @@ def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+DEGREE_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def q_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank degree percentiles (p25/50/75/90/99) — the
+    numbers that size `spark.sql.shuffle.partitions` and the salting
+    threshold before a big run. Computed from the degree HISTOGRAM
+    with a cumulative sum, so the single-task ordered window runs over
+    a few hundred distinct-degree rows, never over vertices; the
+    quantile rank uses pure integer arithmetic
+    (ceil(q·n/100) = (q·n+99) div 100) so the oracle matches bit-wise."""
+    deg = degrees(edges_from_lineitem(spark, sf_dir))
+    hist = deg.groupBy("degree").agg(F.count("*").cast("long").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "degree",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("degree").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in DEGREE_QUANTILES], "q long")
+    return (
+        qs.crossJoin(cum)
+        .where(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("q")
+        .agg(F.min("degree").cast("long").alias("degree"))
+    )
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly census over the hub-capped co-purchase
+    projection (customer×part): Σ C(weight, 2) — see
+    linkgraph.algos.projection.butterflies."""
+    from linkgraph.algos.projection import butterflies, co_purchase_edges
+
+    return butterflies(co_purchase_edges(spark, sf_dir, hub_cap=40))
+
+
+TOPO_DEPTH = 6
+
+
+def q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded longest-path layering of the canonical (src<dst) DAG
+    orientation — dependency depth per vertex, TOPO_DEPTH rounds of
+    frontier-delta edge relaxation."""
+    from linkgraph.algos.dag import topo_levels
+
+    return topo_levels(edges_from_lineitem(spark, sf_dir), max_depth=TOPO_DEPTH)
