@@ -164,6 +164,76 @@ def main() -> int:
         ))
     )
 
+    # hll_distinct: the register MAX partial-aggregates map-side (the
+    # whole point — 64 rows/group leave each task, not |corpus| rows)
+    from linkgraph.pipeline.queries import (
+        q_bigram_logprob,
+        q_dup_ngram_coverage,
+        q_heavy_hitters,
+        q_hll_distinct,
+    )
+
+    hp = plan(q_hll_distinct(spark, SF))
+    checks.append(("hll_distinct partial_max", "partial_max" in hp))
+
+    # heavy_hitters: the 384-cell CMS table broadcasts to the probes;
+    # cell sums partial-aggregate
+    cp = plan(q_heavy_hitters(spark, SF))
+    checks.append(("heavy_hitters broadcast cells", "BroadcastHashJoin" in cp))
+    checks.append(("heavy_hitters partial_sum", "partial_sum" in cp))
+    checks.append(("heavy_hitters TakeOrdered heads", "TakeOrderedAndProject" in cp))
+
+    # dup_ngram_coverage: shingle DF + per-doc fold both partial-agg
+    checks.append(
+        ("dup_ngram_coverage partial_count", "partial_count" in plan(
+            q_dup_ngram_coverage(spark, SF)
+        ))
+    )
+
+    # bigram_logprob: bigram/margin tables partial-aggregate
+    checks.append(
+        ("bigram_logprob partial_count", "partial_count" in plan(
+            q_bigram_logprob(spark, SF)
+        ))
+    )
+
+    # dedup_canonical: survivor choice is a MAX-of-struct partial
+    # aggregate, never a per-cluster window
+    from linkgraph.pipeline.queries import q_dedup_canonical
+
+    dc = plan(q_dedup_canonical(spark, SF))
+    checks.append(("dedup_canonical partial_max", "partial_max" in dc))
+    checks.append(("dedup_canonical no window", "Window" not in dc))
+
+    # degree_quantiles: the single-task window runs over the degree
+    # HISTOGRAM (above the aggregate), never over vertices
+    from linkgraph.queries import q_butterflies, q_degree_quantiles, q_topo_levels
+
+    dq = plan(q_degree_quantiles(spark, SF))
+    checks.append(
+        ("degree_quantiles window above histogram agg", "Window" in dq
+         and dq.rindex("HashAggregate") > dq.index("Window"))
+    )
+
+    # butterflies: one partial-aggregating integer fold
+    checks.append(
+        ("butterflies partial_sum", "partial_sum" in plan(q_butterflies(spark, SF)))
+    )
+
+    # topo_levels: per-round level MAX partial-aggregates (hub fan-in
+    # collapses map-side); audit one relaxation round's shape
+    lv0 = (
+        e.select(F.col("src").alias("vid")).unionAll(
+            e.select(F.col("dst").alias("vid"))
+        ).distinct().withColumn("level", F.lit(0).cast("long"))
+    )
+    cand = (
+        lv0.join(e, lv0["vid"] == e["src"])
+        .select(F.col("dst").alias("vid"), (F.col("level") + 1).alias("level"))
+        .groupBy("vid").agg(F.max("level"))
+    )
+    checks.append(("topo_levels round partial_max", "partial_max" in plan(cand)))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("  OK " if ok else "FAIL ") + name)
