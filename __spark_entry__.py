@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_quantiles": q.q_degree_quantiles,
         "butterflies": q.q_butterflies,
         "topo_levels": q.q_topo_levels,
+        "triangle_estimate": q.q_triangle_estimate,
         # -- never driver-checked before round 5 ----------------------
         "stratified_sample": pq.q_stratified_sample,
         "sample_rates": pq.q_sample_rates,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_quantiles": o.sql_degree_quantiles(),
         "butterflies": o.sql_butterflies(),
         "topo_levels": o.sql_topo_levels(),
+        "triangle_estimate": o.sql_triangle_estimate(),
         # sequential partitioners: deterministic under the fixed seed,
         # so the expected output is generated by the pure-Python oracle
         # at build time and emitted as a VALUES literal (full

@@ -96,3 +96,35 @@ def transitivity(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
             F.try_divide(F.lit(3) * F.col("n_triangles"), F.col("n_wedges")), 6
         ).alias("transitivity"),
     )
+
+
+TRI_SAMPLE_PCT = 50
+
+
+def triangle_estimate(edges: DataFrame, pct: int = TRI_SAMPLE_PCT) -> DataFrame:
+    """Sampled triangle-count estimate with its exact-count audit.
+
+    Each edge is kept iff H(src,dst) mod 100 < ``pct`` (the portable
+    md5-prefix hash, so the "coin flips" replay identically in the SQL
+    oracle); a triangle survives iff all three edges do, so
+    E[T_sampled] = (pct/100)^3 · T and T̂ = T_sampled · (100/pct)^3 is
+    unbiased (Tsourakakis et al.'s DOULION estimator). At 100 TB this
+    is the cheap first pass — the wedge join runs on a pct^2-smaller
+    edge set — and the exact column exists so the small-SF gate pins
+    the arithmetic; production drops it.
+    """
+    from linkgraph.hashing import md5_prefix_hash
+
+    h = md5_prefix_hash(F.lit("tri"), F.col("src"), F.col("dst"))
+    sampled = edges.where((h % 100) < pct)
+    exact = triangle_total(edges).withColumnRenamed("n_triangles", "n")
+    samp = triangle_total(sampled).withColumnRenamed("n_triangles", "ns")
+    factor = float((100 / pct) ** 3)
+    return exact.crossJoin(samp).select(
+        F.col("n").alias("n_triangles"),
+        F.col("ns").alias("n_sampled"),
+        F.round(F.col("ns") * F.lit(factor), 6).alias("estimate"),
+        F.round(
+            F.try_divide(F.col("ns") * F.lit(factor) - F.col("n"), F.col("n")), 6
+        ).alias("rel_err"),
+    )

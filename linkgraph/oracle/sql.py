@@ -1286,3 +1286,33 @@ def sql_topo_levels(depth: int | None = None) -> str:
         + ",\n".join(parts)
         + f"\nSELECT vid, CAST(level AS BIGINT) AS level FROM l{d}"
     )
+
+
+def sql_triangle_estimate() -> str:
+    """Sampled triangle estimate (edge kept iff md5-prefix hash mod
+    100 < pct; estimator ns·(100/pct)^3) next to the exact count —
+    matches linkgraph.algos.triangles.triangle_estimate."""
+    from linkgraph.algos.triangles import TRI_SAMPLE_PCT
+
+    pct = TRI_SAMPLE_PCT
+    factor = float((100 / pct) ** 3)
+    h = ("(('0x' || substr(md5('tri:' || src::VARCHAR || ':' || dst::VARCHAR), "
+         "1, 8))::BIGINT)")
+    return f"""WITH {EDGES_CTE},
+se AS MATERIALIZED (
+  SELECT src, dst FROM e WHERE {h} % 100 < {pct}
+),
+{_TRI_CTE},
+stri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM se e1
+  JOIN se e2 ON e1.dst = e2.src
+  JOIN se e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tri),
+st AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM stri)
+SELECT n AS n_triangles, ns AS n_sampled,
+  round(ns * CAST({factor} AS DOUBLE), 6) AS estimate,
+  CASE WHEN n = 0 THEN NULL
+       ELSE round((ns * CAST({factor} AS DOUBLE) - n) / n, 6) END AS rel_err
+FROM tt, st"""

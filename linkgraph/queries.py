@@ -1004,3 +1004,11 @@ def q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algos.dag import topo_levels
 
     return topo_levels(edges_from_lineitem(spark, sf_dir), max_depth=TOPO_DEPTH)
+
+
+def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style sampled triangle estimate + exact audit — see
+    linkgraph.algos.triangles.triangle_estimate."""
+    from linkgraph.algos.triangles import triangle_estimate
+
+    return triangle_estimate(edges_from_lineitem(spark, sf_dir))

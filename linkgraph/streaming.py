@@ -300,3 +300,59 @@ def strength_stream(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("degree"),
         F.sum("weight").cast("long").alias("strength"),
     )
+
+
+def cms_cells_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the Count-Min sketch's cell table
+    (``linkgraph.pipeline.sketches.heavy_hitters_cms``): maintain the
+    D×W cell sums continuously over an arriving document feed. The
+    state is CONSTANT-size (D·W = 384 keyed longs regardless of corpus
+    size) — the defining property that makes a sketch the right
+    streaming-dashboard shape at 100 TB: each micro-batch explodes its
+    tokens, hashes them into (row, bucket) with the same portable
+    md5-prefix hash as the batch operator, partial-aggregates map-side
+    and folds into the keyed state. The batch and streaming cell
+    tables are equal on the same corpus (asserted cross-batch in
+    tests/test_streaming.py)."""
+    from linkgraph.hashing import md5_prefix_hash
+    from linkgraph.pipeline.sketches import CMS_D, CMS_W
+
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    rows = None
+    for i in range(CMS_D):
+        r = toks.select(
+            F.lit(i).alias("row"),
+            (md5_prefix_hash(F.lit(str(i)), F.col("tok")) % CMS_W).alias("bucket"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("row", "bucket").agg(
+        F.count("*").cast("long").alias("cell_sum")
+    )
+
+
+def run_cms_stream_to_memory(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "cms_cells",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the streaming CMS maintenance synchronously (test/demo
+    path): document drops → token explode → keyed cell state →
+    memory sink (complete mode: the sink holds the 384-row table)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = cms_cells_stream(reader.load(src_path))
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -207,3 +207,41 @@ def test_topo_levels_diamond(spark, edges_df):
         ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+# --- sampled triangle estimate ----------------------------------------------
+
+
+def test_triangle_estimate_audit_columns(spark, edges_df):
+    from linkgraph.algos.triangles import triangle_estimate
+
+    # two triangles sharing an edge: {1,2,3}, {2,3,4}
+    e = edges_df([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    r = triangle_estimate(e, pct=100).collect()[0]  # pct=100: no sampling
+    assert r["n_triangles"] == 2 and r["n_sampled"] == 2
+    assert r["estimate"] == pytest.approx(2.0)
+    assert r["rel_err"] == pytest.approx(0.0)
+
+
+def test_triangle_estimate_sampling_consistent(spark, edges_df):
+    from linkgraph.algos.triangles import triangle_estimate
+    from linkgraph.hashing import md5_prefix_hash
+
+    edges = [(a, b) for a in range(1, 12) for b in range(a + 1, 12)]  # K11
+    e = edges_df(edges)
+    r = triangle_estimate(e, pct=50).collect()[0]
+    assert r["n_triangles"] == 165  # C(11,3)
+    # python replay of the deterministic edge coin-flips
+    kept = {
+        (a, b)
+        for a, b in edges
+        if _h32(f"tri:{a}:{b}") % 100 < 50
+    }
+    want = sum(
+        1
+        for a, b in edges
+        for c in range(b + 1, 12)
+        if (a, b) in kept and (b, c) in kept and (a, c) in kept
+    )
+    assert r["n_sampled"] == want
+    assert r["estimate"] == pytest.approx(round(want * 8.0, 6))

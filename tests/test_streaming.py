@@ -319,3 +319,49 @@ def test_streaming_strength_matches_batch_across_batches(spark, tmp_path):
         assert got2 == batch_expected(batch1 + batch2)
     finally:
         q.stop()
+
+
+def test_streaming_cms_cells_match_batch_across_batches(spark, tmp_path):
+    """Streaming Count-Min maintenance: token drops arrive in two
+    micro-batches; the maintained D×W cell table equals the batch
+    sketch's cell sums over the full corpus (constant-size keyed
+    state — the streaming-sketch story)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.hashing import md5_prefix_hash
+    from linkgraph.pipeline.sketches import CMS_D, CMS_W
+    from linkgraph.streaming import run_cms_stream_to_memory
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows1 = [(1, "alpha beta alpha", "en", "s0", 16)]
+    rows2 = [(2, "beta gamma", "en", "s0", 10), (3, "alpha", "en", "s1", 5)]
+    src = str(tmp_path / "cms_docs")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    try:
+        got = {
+            (r["row"], r["bucket"]): r["cell_sum"]
+            for r in run_cms_stream_to_memory(
+                spark, f"{src}/f=*", "t_cms", max_files_per_trigger=1
+            ).collect()
+        }
+        # batch reference: explode all tokens, same D hashes
+        toks = spark.createDataFrame(rows1 + rows2, schema).select(
+            F.explode(F.split("text", " ")).alias("tok")
+        )
+        want = {}
+        for i in range(CMS_D):
+            for r in (
+                toks.select(
+                    (md5_prefix_hash(F.lit(str(i)), F.col("tok")) % CMS_W).alias("b")
+                )
+                .groupBy("b")
+                .count()
+                .collect()
+            ):
+                want[(i, r["b"])] = r["count"]
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
