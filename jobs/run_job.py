@@ -7,7 +7,7 @@
 
 Jobs: pagerank | cc | lpa | triangles | partition | extract |
 metrics | scc | bfs | kcore | walks | node2vec | clustering |
-census | modularity.
+census | modularity | quantiles | topo | hll | heavy_hitters.
 All iterative jobs checkpoint per superstep and resume from the last
 complete snapshot when re-launched with the same --run-id.
 """
@@ -29,7 +29,8 @@ def main() -> None:
                              "partition", "metrics", "extract",
                              "scc", "bfs", "kcore", "walks",
                              "node2vec", "clustering", "census",
-                             "modularity"])
+                             "modularity", "quantiles", "topo",
+                             "hll", "heavy_hitters"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--checkpoint-dir", default="/tmp/linkgraph-ckpt")
     ap.add_argument("--run-id", default="run0")
@@ -134,6 +135,22 @@ def main() -> None:
         out = modularity(
             edges, label_propagation(edges, iterations=args.iterations)
         )
+    elif args.job == "quantiles":
+        from linkgraph.queries import q_degree_quantiles
+
+        out = q_degree_quantiles(spark, args.sf_dir)
+    elif args.job == "topo":
+        from linkgraph.algos.dag import topo_levels
+
+        out = topo_levels(edges, max_depth=args.iterations)
+    elif args.job == "hll":
+        from linkgraph.pipeline.queries import q_hll_distinct
+
+        out = q_hll_distinct(spark, args.sf_dir)
+    elif args.job == "heavy_hitters":
+        from linkgraph.pipeline.queries import q_heavy_hitters
+
+        out = q_heavy_hitters(spark, args.sf_dir)
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
