@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": q.q_butterflies,
         "topo_levels": q.q_topo_levels,
         "triangle_estimate": q.q_triangle_estimate,
+        "ivf_cell_stats": pq.q_ivf_cell_stats,
+        "quality_by_source": pq.q_quality_by_source,
         # -- never driver-checked before round 5 ----------------------
         "stratified_sample": pq.q_stratified_sample,
         "sample_rates": pq.q_sample_rates,
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "butterflies": o.sql_butterflies(),
         "topo_levels": o.sql_topo_levels(),
         "triangle_estimate": o.sql_triangle_estimate(),
+        "ivf_cell_stats": po.sql_ivf_cell_stats(),
+        "quality_by_source": po.sql_quality_by_source(),
         # sequential partitioners: deterministic under the fixed seed,
         # so the expected output is generated by the pure-Python oracle
         # at build time and emitted as a VALUES literal (full

@@ -686,3 +686,37 @@ SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_bigrams
 FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id"""
+
+
+def sql_ivf_cell_stats(n_cells: int = 8) -> str:
+    """Per-cell audit over the IVF routing — matches
+    linkgraph.pipeline.similarity.ivf_cell_stats (the routing SQL is
+    sql_ann_ivf_cells as a subquery)."""
+    routing = sql_ann_ivf_cells(n_cells)
+    return f"""SELECT cell,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  round(avg(cosine), 6) AS mean_cosine,
+  round(min(cosine), 6) AS min_cosine
+FROM ({routing}) GROUP BY cell"""
+
+
+def sql_quality_by_source() -> str:
+    """Per-source quality dashboard — matches
+    linkgraph.pipeline.text.quality_by_source (same per-doc quality
+    CTE as sql_quality)."""
+    return f"""WITH {TOKENS_CTE},
+q AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    (count(*) >= 10 AND avg(length(tok)) >= 2.0 AND avg(length(tok)) <= 12.0)
+      AS quality_keep
+  FROM tokens GROUP BY doc_id
+)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN q.quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  round(sum(CASE WHEN q.quality_keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS keep_rate,
+  round(avg(q.n_tokens), 6) AS mean_tokens
+FROM q JOIN documents d USING (doc_id)
+GROUP BY d.source"""

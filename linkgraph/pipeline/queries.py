@@ -168,3 +168,13 @@ def q_heavy_hitters(spark, sf_dir):
 
 def q_bigram_logprob(spark, sf_dir):
     return text.bigram_logprob(_docs(spark, sf_dir))
+
+
+def q_ivf_cell_stats(spark, sf_dir):
+    from linkgraph.pipeline import similarity
+
+    return similarity.ivf_cell_stats(_emb(spark, sf_dir))
+
+
+def q_quality_by_source(spark, sf_dir):
+    return text.quality_by_source(_docs(spark, sf_dir))

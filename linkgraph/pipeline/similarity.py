@@ -318,3 +318,21 @@ def ann_ivf_search(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def ivf_cell_stats(
+    embeddings: DataFrame, n_cells: int = 8, refine_iters: int = 0
+) -> DataFrame:
+    """Per-cell quality audit of the IVF quantizer — the dashboard a
+    production ANN index publishes per build: inverted-list size (the
+    probe-cost driver), mean assignment cosine (cell coherence) and
+    the worst assignment (min cosine — the vectors a re-train would
+    move first). One groupBy over the driver-gated ``ivf_cells``
+    routing; at 100 TB this is C rows out of |V| in, all partial-
+    aggregated."""
+    cells = ivf_cells(embeddings, n_cells, refine_iters)
+    return cells.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+        F.round(F.min("cosine"), 6).alias("min_cosine"),
+    )

@@ -367,3 +367,23 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         F.round(F.avg("nll"), 6).alias("mean_bigram_nll"),
         F.count("*").cast("long").alias("n_bigrams"),
     )
+
+
+def quality_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source quality dashboard — the row a corpus curation run
+    logs per domain before choosing mixture weights: docs, docs
+    passing the quality gate, keep rate, and the mean per-doc token
+    count. Stacks one source-keyed aggregate on the driver-gated
+    ``quality_scores`` (integer tallies until the two final
+    divisions)."""
+    q = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return q.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("quality_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.round(
+            F.sum(F.when(F.col("quality_keep"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("keep_rate"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+    )

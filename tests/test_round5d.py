@@ -245,3 +245,42 @@ def test_triangle_estimate_sampling_consistent(spark, edges_df):
     )
     assert r["n_sampled"] == want
     assert r["estimate"] == pytest.approx(round(want * 8.0, 6))
+
+
+# --- IVF cell stats / per-source quality dashboard ---------------------------
+
+
+def test_ivf_cell_stats_known_routing(spark):
+    from linkgraph.pipeline.similarity import ivf_cell_stats
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.1]),
+            (3, [0.1, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["cell"]: r for r in ivf_cell_stats(emb, n_cells=2).collect()}
+    assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
+    for r in out.values():  # both cells coherent, centroid itself = 1.0
+        assert r["mean_cosine"] > 0.9
+        assert r["min_cosine"] <= r["mean_cosine"]
+
+
+def test_quality_by_source_keep_rates(spark):
+    from linkgraph.pipeline.text import quality_by_source
+
+    long_ok = "the quick brown fox jumps over the lazy dog near a river bank"
+    rows = [
+        (0, long_ok, "a"),
+        (1, long_ok + " again today", "a"),
+        (2, "too short", "b"),  # fails n_tokens >= 10
+        (3, long_ok, "b"),
+    ]
+    out = {r["source"]: r for r in quality_by_source(_docs(spark, rows)).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_keep"] == 2
+    assert out["a"]["keep_rate"] == pytest.approx(1.0)
+    assert out["b"]["n_docs"] == 2 and out["b"]["n_keep"] == 1
+    assert out["b"]["keep_rate"] == pytest.approx(0.5)
