@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_estimate": q.q_triangle_estimate,
         "ivf_cell_stats": pq.q_ivf_cell_stats,
         "quality_by_source": pq.q_quality_by_source,
+        "doc_length_quantiles": pq.q_doc_length_quantiles,
         # -- never driver-checked before round 5 ----------------------
         "stratified_sample": pq.q_stratified_sample,
         "sample_rates": pq.q_sample_rates,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_estimate": o.sql_triangle_estimate(),
         "ivf_cell_stats": po.sql_ivf_cell_stats(),
         "quality_by_source": po.sql_quality_by_source(),
+        "doc_length_quantiles": po.sql_doc_length_quantiles(),
         # sequential partitioners: deterministic under the fixed seed,
         # so the expected output is generated by the pure-Python oracle
         # at build time and emitted as a VALUES literal (full

@@ -304,6 +304,21 @@ def run_suite(master: str | None = None) -> dict:
 
         best_of("pagerank_csr_blobs_3steps", run_blobs)
 
+        # round-5 final block: DAG layering (frontier-delta relaxation,
+        # best-of-2 like the other iterative timings) and the HLL
+        # distinct sketch (single narrow agg chain — cheap)
+        from linkgraph.algos.dag import topo_levels
+        from linkgraph.pipeline.sketches import hll_distinct
+
+        best_of(
+            "topo_levels_6rounds",
+            lambda: topo_levels(edges, max_depth=6).count(),
+        )
+        t0 = time.time()
+        hll_distinct(docs).count()
+        queries["hll_distinct"] = round(time.time() - t0, 3)
+        docs.unpersist()
+
         measure_headline()  # interleaved rep 3 (end of suite)
 
     best = min(headline_reps, key=lambda r: r["sec_per_superstep"])

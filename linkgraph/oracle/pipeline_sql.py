@@ -720,3 +720,25 @@ SELECT d.source,
   round(avg(q.n_tokens), 6) AS mean_tokens
 FROM q JOIN documents d USING (doc_id)
 GROUP BY d.source"""
+
+
+def sql_doc_length_quantiles() -> str:
+    """Nearest-rank token-count percentiles from the length histogram
+    — matches linkgraph.pipeline.text.doc_length_quantiles."""
+    from linkgraph.pipeline.text import LENGTH_QUANTILES
+
+    qlist = ", ".join(str(q) for q in LENGTH_QUANTILES)
+    return f"""WITH hist AS MATERIALIZED (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum,
+         (SELECT sum(cnt) FROM hist) AS n
+  FROM hist
+)
+SELECT CAST(q AS BIGINT) AS q, CAST(min(n_tokens) AS BIGINT) AS n_tokens
+FROM (SELECT unnest([{qlist}]) AS q), cum
+WHERE cum >= (q * n + 99) // 100
+GROUP BY q"""

@@ -178,3 +178,7 @@ def q_ivf_cell_stats(spark, sf_dir):
 
 def q_quality_by_source(spark, sf_dir):
     return text.quality_by_source(_docs(spark, sf_dir))
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    return text.doc_length_quantiles(_docs(spark, sf_dir))

@@ -387,3 +387,41 @@ def quality_by_source(docs: DataFrame) -> DataFrame:
         ).alias("keep_rate"),
         F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
     )
+
+
+LENGTH_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def doc_length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact nearest-rank percentiles of the per-document token count —
+    the length-distribution readout that sizes sequence-packing bins
+    and chunking strides before a corpus run. Same integer rank
+    arithmetic as the graph-side ``degree_quantiles``
+    (ceil(q·n/100) = (q·n+99) div 100): the cumulative window runs
+    over the LENGTH HISTOGRAM (≤ #distinct lengths rows), never over
+    documents."""
+    from pyspark.sql import Window
+
+    lens = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_tokens",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = docs.sparkSession.createDataFrame(
+        [(q,) for q in LENGTH_QUANTILES], "q long"
+    )
+    return (
+        qs.crossJoin(cum)
+        .where(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("q")
+        .agg(F.min("n_tokens").cast("long").alias("n_tokens"))
+    )

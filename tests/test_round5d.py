@@ -284,3 +284,18 @@ def test_quality_by_source_keep_rates(spark):
     assert out["a"]["keep_rate"] == pytest.approx(1.0)
     assert out["b"]["n_docs"] == 2 and out["b"]["n_keep"] == 1
     assert out["b"]["keep_rate"] == pytest.approx(0.5)
+
+
+def test_doc_length_quantiles_rank_formula(spark):
+    from linkgraph.pipeline.text import doc_length_quantiles
+
+    # token counts: 2, 2, 3, 5 (n=4)
+    rows = [(0, "a b", "s"), (1, "c d", "s"), (2, "e f g", "s"),
+            (3, "h i j k l", "s")]
+    got = {
+        r["q"]: r["n_tokens"]
+        for r in doc_length_quantiles(_docs(spark, rows)).collect()
+    }
+    # ranks: ceil(.25*4)=1 -> 2, ceil(.5*4)=2 -> 2, ceil(.75*4)=3 -> 3,
+    # ceil(.9*4)=4 -> 5, ceil(.99*4)=4 -> 5
+    assert got == {25: 2, 50: 2, 75: 3, 90: 5, 99: 5}
