@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_stats": pq.q_ivf_cell_stats,
         "quality_by_source": pq.q_quality_by_source,
         "doc_length_quantiles": pq.q_doc_length_quantiles,
+        "bloom_membership": pq.q_bloom_membership,
+        "verified_sim_pairs": pq.q_verified_sim_pairs,
         # -- never driver-checked before round 5 ----------------------
         "stratified_sample": pq.q_stratified_sample,
         "sample_rates": pq.q_sample_rates,
@@ -184,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cell_stats": po.sql_ivf_cell_stats(),
         "quality_by_source": po.sql_quality_by_source(),
         "doc_length_quantiles": po.sql_doc_length_quantiles(),
+        "bloom_membership": po.sql_bloom_membership(),
+        "verified_sim_pairs": po.sql_verified_sim_pairs(),
         # sequential partitioners: deterministic under the fixed seed,
         # so the expected output is generated by the pure-Python oracle
         # at build time and emitted as a VALUES literal (full

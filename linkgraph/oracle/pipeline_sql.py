@@ -742,3 +742,119 @@ SELECT CAST(q AS BIGINT) AS q, CAST(min(n_tokens) AS BIGINT) AS n_tokens
 FROM (SELECT unnest([{qlist}]) AS q), cum
 WHERE cum >= (q * n + 99) // 100
 GROUP BY q"""
+
+
+def sql_bloom_membership() -> str:
+    """Bloom-filter membership audit — matches
+    linkgraph.pipeline.sketches.bloom_membership bit position for bit
+    position (k unrolled md5-prefix hashes, m-bit space)."""
+    from linkgraph.pipeline.sketches import (
+        BLOOM_ABSENT_PROBES,
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_PRESENT_PROBES,
+    )
+
+    def h(i: int, col: str) -> str:
+        return (
+            f"(('0x' || substr(md5('bloom{i}:' || {col}), 1, 8))::BIGINT)"
+            f" % {BLOOM_M}"
+        )
+
+    bit_parts = "\n    UNION ALL\n    ".join(
+        f"SELECT {h(i, 'text')} AS pos FROM documents" for i in range(BLOOM_K)
+    )
+    ppos_parts = "\n    UNION ALL\n    ".join(
+        f"SELECT probe_id, {h(i, 'text')} AS pos FROM probes"
+        for i in range(BLOOM_K)
+    )
+    absent_vals = ", ".join(
+        f"({100000 + j}, 'absent probe {j} xyzzy')"
+        for j in range(BLOOM_ABSENT_PROBES)
+    )
+    return f"""WITH bits AS MATERIALIZED (
+  SELECT DISTINCT pos FROM (
+    {bit_parts}
+  )
+),
+probes AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT CAST(doc_id AS BIGINT) AS probe_id, text FROM documents
+    ORDER BY doc_id LIMIT {BLOOM_PRESENT_PROBES}
+  )
+  UNION ALL
+  SELECT CAST(probe_id AS BIGINT), text
+  FROM (VALUES {absent_vals}) AS t(probe_id, text)
+),
+ppos AS MATERIALIZED (
+  SELECT probe_id, pos FROM (
+    {ppos_parts}
+  )
+),
+hits AS MATERIALIZED (
+  SELECT p.probe_id,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+  FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.probe_id
+),
+exact AS MATERIALIZED (
+  SELECT probe_id,
+         (text IN (SELECT text FROM documents)) AS present
+  FROM probes
+)
+SELECT h.probe_id,
+  (nhit = {BLOOM_K}) AS bloom_positive,
+  e.present,
+  ((nhit = {BLOOM_K}) AND NOT e.present) AS false_positive
+FROM hits h JOIN exact e USING (probe_id)"""
+
+
+def sql_verified_sim_pairs(
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    max_bucket_size: int = 10000,
+) -> str:
+    """LSH-verified similarity join — matches
+    linkgraph.pipeline.similarity.verified_sim_pairs (same hyperplane
+    grid as sql_ann_buckets, mega-bucket cap, exact cosine filter)."""
+    return f"""WITH {_DIMS_CTE},
+grid AS (
+  SELECT plane, dim,
+         CASE WHEN ((1664525 * (plane * 64 + dim) + 1013904223) % 2147483648) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM (SELECT unnest(generate_series(0, {num_planes - 1})) AS plane)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim)
+),
+dots AS MATERIALIZED (
+  SELECT vec_id, plane, sum(x * c) AS dot
+  FROM dims JOIN grid USING (dim) GROUP BY 1, 2
+),
+b AS MATERIALIZED (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+ok AS MATERIALIZED (
+  SELECT bucket FROM (SELECT bucket, count(*) AS c FROM b GROUP BY bucket)
+  WHERE c <= {max_bucket_size}
+),
+bb AS MATERIALIZED (
+  SELECT vec_id, bucket FROM b JOIN ok USING (bucket)
+),
+pairs AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b2
+  FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+pcos AS MATERIALIZED (
+  SELECT p.a, p.b2,
+         round(sum(da.x * db.x) / (any_value(na.nrm) * any_value(nb.nrm)), 4)
+           AS cosine
+  FROM pairs p
+  JOIN dims da ON da.vec_id = p.a
+  JOIN dims db ON db.vec_id = p.b2 AND da.dim = db.dim
+  JOIN norms na ON na.vec_id = p.a
+  JOIN norms nb ON nb.vec_id = p.b2
+  GROUP BY p.a, p.b2
+)
+SELECT a AS vec_a, b2 AS vec_b, cosine FROM pcos
+WHERE cosine >= {threshold}"""

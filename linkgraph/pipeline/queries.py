@@ -182,3 +182,15 @@ def q_quality_by_source(spark, sf_dir):
 
 def q_doc_length_quantiles(spark, sf_dir):
     return text.doc_length_quantiles(_docs(spark, sf_dir))
+
+
+def q_bloom_membership(spark, sf_dir):
+    from linkgraph.pipeline import sketches
+
+    return sketches.bloom_membership(_docs(spark, sf_dir))
+
+
+def q_verified_sim_pairs(spark, sf_dir):
+    from linkgraph.pipeline import similarity
+
+    return similarity.verified_sim_pairs(_emb(spark, sf_dir))

@@ -336,3 +336,38 @@ def ivf_cell_stats(
         F.round(F.avg("cosine"), 6).alias("mean_cosine"),
         F.round(F.min("cosine"), 6).alias("min_cosine"),
     )
+
+
+def verified_sim_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """LSH-verified similarity join — the production near-dup PAIR
+    output at 100 TB: bucket-join candidates (``ann_lsh_candidates``,
+    mega-bucket capped) verified by the exact cosine, keeping pairs
+    ≥ ``threshold``. The two-stage shape is the whole point: the
+    quadratic work runs only inside buckets, the exact math only on
+    candidates. Recall is bounded by the LSH stage (measured in
+    tests/test_pipeline.py); the all-pairs twin
+    (``dedup.embedding_dup_pairs``) is the small-data oracle of the
+    same contract."""
+    cands = ann_lsh_candidates(embeddings, max_bucket_size)
+    e = embeddings.select("vec_id", "embedding")
+    pa = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    pb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cands.select("vec_a", "vec_b")
+        .join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -162,3 +162,77 @@ def heavy_hitters_cms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+# Bloom geometry: m bits, k hashes. m=1024 on a ~500-doc corpus gives
+# a low-but-nonzero FP rate — the audit column is the point.
+BLOOM_M = 1024
+BLOOM_K = 4
+BLOOM_PRESENT_PROBES = 8
+BLOOM_ABSENT_PROBES = 8
+
+
+def bloom_membership(docs: DataFrame) -> DataFrame:
+    """Bloom-filter membership audit — the shuffle-free pre-filter a
+    100 TB dedup/decontamination pass runs BEFORE any join: build an
+    m-bit filter over the corpus texts (k portable md5-prefix hashes
+    per text), then test a probe set (known-present texts + synthetic
+    absent ones) and emit, per probe, the filter verdict next to exact
+    membership and the false-positive flag. Blooms never produce
+    false NEGATIVES — the invariant the test pins; the gate pins every
+    bit position cross-engine.
+
+    Shape: the filter is ≤m distinct ints (broadcastable at any corpus
+    size — that's the point of a Bloom filter); building it is one
+    narrow map + distinct; probing is a broadcast join.
+    """
+    spark = docs.sparkSession
+    bits = None
+    for i in range(BLOOM_K):
+        b = docs.select(
+            (md5_prefix_hash(F.lit(f"bloom{i}"), F.col("text")) % BLOOM_M).alias(
+                "pos"
+            )
+        )
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct()
+    present = (
+        docs.orderBy("doc_id")
+        .limit(BLOOM_PRESENT_PROBES)
+        .select(F.col("doc_id").cast("long").alias("probe_id"), "text")
+    )
+    absent = spark.createDataFrame(
+        [(100000 + j, f"absent probe {j} xyzzy") for j in range(BLOOM_ABSENT_PROBES)],
+        "probe_id long, text string",
+    )
+    probes = present.unionByName(absent)
+    ppos = None
+    for i in range(BLOOM_K):
+        p = probes.select(
+            "probe_id",
+            (md5_prefix_hash(F.lit(f"bloom{i}"), F.col("text")) % BLOOM_M).alias(
+                "pos"
+            ),
+        )
+        ppos = p if ppos is None else ppos.unionAll(p)
+    hits = (
+        ppos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("probe_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("nhit"))
+    )
+    exact = probes.join(
+        docs.select("text").distinct().withColumn("present0", F.lit(True)),
+        "text",
+        "left",
+    ).select("probe_id", F.coalesce("present0", F.lit(False)).alias("present"))
+    return (
+        hits.join(exact, "probe_id")
+        .select(
+            "probe_id",
+            (F.col("nhit") == BLOOM_K).alias("bloom_positive"),
+            "present",
+            ((F.col("nhit") == BLOOM_K) & ~F.col("present")).alias(
+                "false_positive"
+            ),
+        )
+    )

@@ -299,3 +299,40 @@ def test_doc_length_quantiles_rank_formula(spark):
     # ranks: ceil(.25*4)=1 -> 2, ceil(.5*4)=2 -> 2, ceil(.75*4)=3 -> 3,
     # ceil(.9*4)=4 -> 5, ceil(.99*4)=4 -> 5
     assert got == {25: 2, 50: 2, 75: 3, 90: 5, 99: 5}
+
+
+# --- bloom membership / verified similarity join -----------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from linkgraph.pipeline.sketches import bloom_membership
+
+    rows = [(i, f"document body number {i} with words", "s") for i in range(30)]
+    out = bloom_membership(_docs(spark, rows)).collect()
+    assert len(out) == 16  # 8 present + 8 absent probes
+    for r in out:
+        if r["present"]:  # Bloom invariant: no false negatives
+            assert r["bloom_positive"]
+        assert r["false_positive"] == (r["bloom_positive"] and not r["present"])
+    assert sum(1 for r in out if r["present"]) == 8
+
+
+def test_verified_sim_pairs_finds_planted_near_dup(spark):
+    import random
+
+    from linkgraph.pipeline.similarity import verified_sim_pairs
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.01 for x in base]
+    rows = [(0, base), (1, near)]
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(2, 30)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in verified_sim_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.99
