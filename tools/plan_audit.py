@@ -234,6 +234,53 @@ def main() -> int:
     )
     checks.append(("topo_levels round partial_max", "partial_max" in plan(cand)))
 
+    # bloom_membership: the bit-set (<= m ints) broadcasts to the probes
+    from linkgraph.pipeline.queries import (
+        q_bloom_membership,
+        q_doc_length_quantiles,
+        q_ivf_cell_stats,
+        q_quality_by_source,
+        q_verified_sim_pairs,
+    )
+
+    bp = plan(q_bloom_membership(spark, SF))
+    checks.append(("bloom bit-set BroadcastHashJoin", "BroadcastHashJoin" in bp))
+
+    # verified_sim_pairs: bucket self-join stays a hash join on the
+    # bucket key; cosine verification adds no extra shuffle stage
+    vp = plan(q_verified_sim_pairs(spark, SF))
+    checks.append(("verified_sim_pairs hash join on bucket",
+                   "HashJoin" in vp or "SortMergeJoin" in vp))
+
+    # doc_length_quantiles: window over the LENGTH histogram (aggregate
+    # below the Window, never over documents)
+    dl = plan(q_doc_length_quantiles(spark, SF))
+    checks.append(
+        ("doc_length_quantiles window above histogram agg", "Window" in dl
+         and dl.rindex("HashAggregate") > dl.index("Window"))
+    )
+
+    # ivf_cell_stats: per-cell fold partial-aggregates; centroid table
+    # broadcast (inherited from the routing)
+    iv = plan(q_ivf_cell_stats(spark, SF))
+    checks.append(("ivf_cell_stats partial agg", "partial_" in iv))
+    checks.append(("ivf_cell_stats broadcast centroids",
+                   "BroadcastNestedLoopJoin" in iv or "BroadcastHashJoin" in iv))
+
+    # quality_by_source: source fold partial-aggregates map-side
+    checks.append(
+        ("quality_by_source partial agg", "partial_" in plan(
+            q_quality_by_source(spark, SF)
+        ))
+    )
+
+    # triangle_estimate: sampled + exact wedge joins both present, one
+    # final nested-loop on two 1-row sides
+    from linkgraph.queries import q_triangle_estimate
+
+    te = plan(q_triangle_estimate(spark, SF))
+    checks.append(("triangle_estimate partial_count", "partial_count" in te))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("  OK " if ok else "FAIL ") + name)
