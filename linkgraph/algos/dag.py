@@ -34,11 +34,14 @@ def topo_levels(edges: DataFrame, max_depth: int = 6) -> DataFrame:
     the improved set, and rounds are fixed — no driver-side graph
     state, no convergence actions.
     """
+    from linkgraph.graph import join_ready
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
     roll_f = RollingCheckpoint()
-    e = edges.select("src", "dst").cache()
+    # one upfront shuffle+sort; each round's frontier join reuses the
+    # cached partitioning/ordering of the edge side (guide §2.4)
+    e = join_ready(edges.select("src", "dst"), "src").cache()
     verts = (
         e.select(F.col("src").alias("vid"))
         .unionAll(e.select(F.col("dst").alias("vid")))

@@ -34,9 +34,17 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     """Returns ``DataFrame[vid: long, auth: double, hub: double]`` for
     every vertex of the directed graph ``edges[src, dst]``, L1
     normalization (Σ auth = Σ hub = 1 over the support)."""
+    from pyspark.sql import Observation
+
+    from linkgraph.graph import join_ready
     from linkgraph.rolling import RollingCheckpoint
 
     de = edges.select("src", "dst").cache()
+    # the auth half-step joins on src, the hub half-step on dst — two
+    # join-ready cached views so neither half-step re-shuffles the
+    # edge side per iteration (guide §2.4)
+    de_src = join_ready(de, "src").cache()
+    de_dst = join_ready(de, "dst").cache()
     verts = (
         de.select(F.col("src").alias("vid"))
         .unionByName(de.select(F.col("dst").alias("vid")))
@@ -52,21 +60,27 @@ def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
     )
     auth = None
     for _ in range(iterations):
+        # L1 normalizers ride the checkpoint as Observations (the
+        # scc.py pattern) — two fewer .first() jobs per iteration
+        obs_a = Observation()
         raw_a = roll_a(
-            de.join(hub, de["src"] == hub["vid"])
+            de_src.join(hub, de_src["src"] == hub["vid"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .withColumnRenamed("dst", "vid")
+            .observe(obs_a, F.sum("auth").alias("s"))
         )
-        norm_a = raw_a.agg(F.sum("auth")).first()[0]
+        norm_a = obs_a.get["s"]
         auth = raw_a.select("vid", (F.col("auth") / F.lit(norm_a)).alias("auth"))
+        obs_h = Observation()
         raw_h = roll_h(
-            de.join(auth, de["dst"] == auth["vid"])
+            de_dst.join(auth, de_dst["dst"] == auth["vid"])
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
             .withColumnRenamed("src", "vid")
+            .observe(obs_h, F.sum("hub").alias("s"))
         )
-        norm_h = raw_h.agg(F.sum("hub")).first()[0]
+        norm_h = obs_h.get["s"]
         hub = raw_h.select("vid", (F.col("hub") / F.lit(norm_h)).alias("hub"))
     out = (
         verts.join(auth, "vid", "left")

@@ -33,7 +33,7 @@ def k_core(
 ) -> DataFrame:
     """Returns ``DataFrame[vid: long, core_degree: long]`` — the
     vertices of the k-core with their in-core degrees."""
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import join_ready, symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
 
     rounds = fixed_iterations if fixed_iterations is not None else max_iterations
@@ -43,7 +43,12 @@ def k_core(
         # oracle has no round-0 degree column) — reject instead
         raise ValueError("k_core needs at least one peel round")
     roll = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # join_ready("dst"): the first per-round semi-join (on dst) reuses
+    # the cached partitioning/ordering, and joining dst BEFORE src
+    # leaves the second join's output partitioned by src so the
+    # groupBy("src") needs no exchange — one |E| shuffle per peel
+    # round instead of three (guide §2.4)
+    sym = join_ready(symmetrize(edges), "dst").cache()
     alive = vertices(edges)
     prev_n = None
     out = None
@@ -51,8 +56,8 @@ def k_core(
         asrc = alive.select(F.col("vid").alias("src"))
         adst = alive.select(F.col("vid").alias("dst"))
         deg = (
-            sym.join(asrc, "src")
-            .join(adst, "dst")
+            sym.join(adst, "dst")
+            .join(asrc, "src")
             .groupBy("src")
             .agg(F.count("*").cast("long").alias("core_degree"))
         )

@@ -147,9 +147,11 @@ def jaccard_topk(
     common = cand.groupBy("u", "w").agg(F.count("*").alias("common"))
     du = deg.select(F.col("vid").alias("u"), F.col("degree").alias("du"))
     dw = deg.select(F.col("vid").alias("w"), F.col("degree").alias("dw"))
+    # no broadcast hint on the O(|V|) degree table — AQE broadcasts it
+    # when runtime stats fit, shuffles otherwise (scale-safe)
     scored = (
-        common.join(F.broadcast(du), "u")
-        .join(F.broadcast(dw), "w")
+        common.join(du, "u")
+        .join(dw, "w")
         .select(
             "u",
             "w",
@@ -213,9 +215,10 @@ def common_neighbor_scores(
     )
     du = deg.select(F.col("vid").alias("u"), F.col("degree").alias("du"))
     dw = deg.select(F.col("vid").alias("w"), F.col("degree").alias("dw"))
+    # no broadcast hint on the O(|V|) degree table — AQE decides
     out = (
-        scored.join(F.broadcast(du), "u")
-        .join(F.broadcast(dw), "w")
+        scored.join(du, "u")
+        .join(dw, "w")
         .select(
             "u",
             "w",

@@ -23,12 +23,14 @@ def label_propagation(
     edges: DataFrame, iterations: int = 10, checkpoint_every: int = 3
 ) -> DataFrame:
     """Returns ``DataFrame[vid: long, label: long]``."""
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import join_ready, symmetrize, vertices
 
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # one upfront shuffle+sort; every round's label join then reuses
+    # the cached partitioning/ordering of the edge side (guide §2.4)
+    sym = join_ready(symmetrize(edges), "src").cache()
     labels = vertices(edges).withColumn("label", F.col("vid"))
 
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
@@ -63,11 +65,16 @@ def label_propagation_weighted(
     labels). Returns ``DataFrame[vid, label]``."""
     from linkgraph.rolling import RollingCheckpoint
 
+    from linkgraph.graph import join_ready
+
     roll = RollingCheckpoint()
-    sym = wedges.select("src", "dst", "weight").unionByName(
-        wedges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-        )
+    sym = join_ready(
+        wedges.select("src", "dst", "weight").unionByName(
+            wedges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        ),
+        "src",
     ).cache()
     labels = (
         sym.select(F.col("src").alias("vid"))

@@ -110,15 +110,25 @@ def strongly_connected_components(
     roll_t = RollingCheckpoint()
     roll_out = RollingCheckpoint()
 
-    remaining = roll_e(edges.select("src", "dst").distinct())
+    from linkgraph.graph import join_ready
+
+    # remaining is joined on src by EVERY forward-propagation round —
+    # hash-partition + sort it once per outer round so those joins
+    # reuse the checkpointed partitioning/ordering (guide §2.4)
+    remaining = roll_e(join_ready(edges.select("src", "dst").distinct(), "src"))
+    # vertex-count Observations ride every verts checkpoint so the
+    # per-round emptiness checks cost zero extra jobs (guide §1.5)
+    obs_v = Observation()
     verts = roll_v(
         remaining.select(F.col("src").alias("vid"))
         .unionByName(remaining.select(F.col("dst").alias("vid")))
         .distinct()
+        .observe(obs_v, F.count(F.lit(1)).alias("n"))
     )
+    verts_n = obs_v.get["n"]
     result: DataFrame | None = None
     for _ in range(max_outer):
-        if verts.limit(1).count() == 0:
+        if verts_n == 0:
             break
         # -- TRIM: a vertex with no incoming (or no outgoing) edge in
         # the remaining graph is on no cycle — a singleton SCC. Peel
@@ -145,15 +155,24 @@ def strongly_connected_components(
                 else result.unionByName(trivial)
             )
             tv = result.select("vid")  # cumulative settled — anti-join safe
-            verts = roll_v(verts.join(tv, "vid", "left_anti"))
-            remaining = roll_e(
-                remaining.join(
-                    tv.select(F.col("vid").alias("src")), "src", "left_anti"
-                ).join(
-                    tv.select(F.col("vid").alias("dst")), "dst", "left_anti"
+            obs_v = Observation()
+            verts = roll_v(
+                verts.join(tv, "vid", "left_anti").observe(
+                    obs_v, F.count(F.lit(1)).alias("n")
                 )
             )
-        if verts.limit(1).count() == 0:
+            verts_n = obs_v.get["n"]
+            # anti-join dst first, then src: the src anti-join's output
+            # keeps src hash-partitioning, so the next propagation's
+            # edge joins need no exchange (anti-joins commute)
+            remaining = roll_e(
+                remaining.join(
+                    tv.select(F.col("vid").alias("dst")), "dst", "left_anti"
+                ).join(
+                    tv.select(F.col("vid").alias("src")), "src", "left_anti"
+                )
+            )
+        if verts_n == 0:
             break
         # -- forward: color = min ancestor ----------------------------
         colors = _min_label_propagate(remaining, verts, roll_c, max_inner)
@@ -173,17 +192,16 @@ def strongly_connected_components(
             )
             .where(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
-        ).cache()
-        # -- backward: b = min descendant within the color class ------
-        # (labels flow against edge direction: orient dst→src)
-        back = _min_label_propagate(
-            ce.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ),
-            verts,
-            roll_b,
-            max_inner,
         )
+        # -- backward: b = min descendant within the color class ------
+        # (labels flow against edge direction: orient dst→src); cache
+        # the REVERSED view join-ready so every backward round reuses
+        # its partitioning/ordering instead of re-shuffling it
+        rev = join_ready(
+            ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            "src",
+        ).cache()
+        back = _min_label_propagate(rev, verts, roll_b, max_inner)
         # b(v) = color(v) ⟺ v reaches its pivot ⟺ v ∈ SCC(pivot)
         # (the pivot is the strict minimum vid of its color class)
         settled = (
@@ -202,20 +220,26 @@ def strongly_connected_components(
         )
         # -- peel the settled vertices --------------------------------
         done = result.select("vid")
-        verts = roll_v(verts.join(done, "vid", "left_anti"))
-        remaining = roll_e(
-            remaining.join(
-                done.select(F.col("vid").alias("src")), "src", "left_anti"
-            ).join(
-                done.select(F.col("vid").alias("dst")), "dst", "left_anti"
+        obs_v = Observation()
+        verts = roll_v(
+            verts.join(done, "vid", "left_anti").observe(
+                obs_v, F.count(F.lit(1)).alias("n")
             )
         )
-        ce.unpersist()
+        verts_n = obs_v.get["n"]
+        remaining = roll_e(
+            remaining.join(
+                done.select(F.col("vid").alias("dst")), "dst", "left_anti"
+            ).join(
+                done.select(F.col("vid").alias("src")), "src", "left_anti"
+            )
+        )
+        rev.unpersist()
     else:
         # the loop ran out of rounds with work left — NEVER return a
         # silently-incomplete labeling (code-review finding: on an
         # adversarial shape one SCC can settle per round)
-        if verts.limit(1).count() != 0:
+        if verts_n != 0:
             raise RuntimeError(
                 "strongly_connected_components: max_outer="
                 f"{max_outer} exhausted with unsettled vertices — "

@@ -22,9 +22,12 @@ from pyspark.sql import functions as F
 def _orient_by_degree(edges: DataFrame) -> DataFrame:
     from linkgraph.graph import degrees
 
+    # no broadcast hint: the degree table is O(|V|) — AQE broadcasts it
+    # from runtime stats when it fits and falls back to a shuffled join
+    # when it doesn't (a forced hint OOMs the driver at 10^9 vertices)
     deg = degrees(edges)
-    ds = F.broadcast(deg.withColumnRenamed("vid", "src").withColumnRenamed("degree", "deg_src"))
-    dd = F.broadcast(deg.withColumnRenamed("vid", "dst").withColumnRenamed("degree", "deg_dst"))
+    ds = deg.withColumnRenamed("vid", "src").withColumnRenamed("degree", "deg_src")
+    dd = deg.withColumnRenamed("vid", "dst").withColumnRenamed("degree", "deg_dst")
     e = edges.join(ds, "src").join(dd, "dst")
     lower_first = (F.col("deg_src") < F.col("deg_dst")) | (
         (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))

@@ -38,7 +38,7 @@ def random_walks(
     ``step_plans`` (optional, tests) collects each step's physical
     plan string before checkpointing — the evidence that the argmin
     partially aggregates map-side."""
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import join_ready, symmetrize, vertices
     from linkgraph.hashing import md5_prefix_hash
     from linkgraph.rolling import RollingCheckpoint
 
@@ -48,7 +48,8 @@ def random_walks(
     # would hit checkpointRDDBlockIdNotFound at collect time
     roll = RollingCheckpoint()
     roll_out = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # per-step frontier join reuses the cached edge-side partitioning
+    sym = join_ready(symmetrize(edges), "src").cache()
     cur = vertices(edges).select(
         F.col("vid").alias("start_vid"), F.col("vid").alias("vid")
     )
@@ -109,13 +110,15 @@ def node2vec_walks(
     candidate set against the symmetric edge list per step — the
     triangle-enumeration budget, not a window.
     """
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import join_ready, symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
 
     BIG = 1 << 33  # sentinel above any 32-bit md5 prefix
     roll = RollingCheckpoint()
     roll_out = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # both per-step edge-side joins reuse cached partitioning: sym by
+    # the walk-frontier key, adj by the (prev, dst) bias-lookup pair
+    sym = join_ready(symmetrize(edges), "src").cache()
     cur = vertices(edges).select(
         F.col("vid").alias("start_vid"),
         F.col("vid").alias("prev"),
@@ -124,7 +127,11 @@ def node2vec_walks(
     out = cur.select(
         "start_vid", F.lit(0).cast("long").alias("step"), "vid"
     )
-    adj = sym.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+    adj = join_ready(
+        sym.select(F.col("src").alias("_a"), F.col("dst").alias("_b")),
+        "_a",
+        "_b",
+    ).cache()
     for s in range(1, walk_len + 1):
         cand = cur.join(sym, cur["vid"] == sym["src"])
         if s == 1:

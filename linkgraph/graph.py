@@ -65,6 +65,22 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def join_ready(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-partition + sort ``df`` by ``cols`` so that a subsequent
+    cache'd copy joins WITHOUT a per-round exchange or sort (guide
+    §2.4: establish the partitioning once). Iterative kernels join the
+    (big, static) edge side on the same key every superstep; Spark
+    preserves the partitioning and ordering of a cached plan, so the
+    per-round sort-merge join only shuffles+sorts the (small, changing)
+    label side. Partition count comes from spark.sql.shuffle.partitions
+    — the same scale knob every other shuffle uses — and the explicit
+    count keeps AQE from coalescing below it (matching the partition
+    count the label side's exchange will produce, so the join reuses
+    this side as-is)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *cols).sortWithinPartitions(*cols)
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Undirected degree per vertex — both endpoints counted once per
     edge (reference ingest-time degree, conversions.hpp:73-74).

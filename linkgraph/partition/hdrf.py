@@ -100,6 +100,67 @@ def stream_ord_py(src: int, dst: int, seed: int = STREAM_SEED) -> int:
     return int(hashlib.md5(f"{src},{dst},{seed}".encode()).hexdigest()[:8], 16)
 
 
+def _murmur3_long(value: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (the HashPartitioning hash for
+    a single long column) in pure Python — used to pre-compute group
+    labels that spread perfectly across shuffle partitions."""
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & M
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & M
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M
+
+    low = value & M
+    high = (value >> 32) & M
+    h1 = mix_h1(seed & M, mix_k1(low))
+    h1 = mix_h1(h1, mix_k1(high))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    # to signed 32-bit, then Spark's pmod
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _spread_group_labels(n_groups: int, n_partitions: int) -> list[int]:
+    """``n_groups`` long labels whose HashPartitioning residues modulo
+    ``n_partitions`` are pairwise distinct (greedy search; falls back
+    to best-effort when n_partitions < n_groups). Relabeling the
+    applyInPandas group key with these is semantics-free — the groups
+    are the same edge sets — but stops the classic balls-in-bins
+    collision (guide §2.5: k keys hashed into k partitions leave ~37%
+    of partitions empty and serialize up to 3 Python groups per task).
+    """
+    labels: list[int] = []
+    used: set[int] = set()
+    v = 0
+    while len(labels) < n_groups and v < 1_000_000:
+        r = _murmur3_long(v) % n_partitions
+        if r < 0:
+            r += n_partitions
+        if r not in used:
+            used.add(r)
+            labels.append(v)
+            if len(used) == n_partitions:
+                used.clear()  # partitions saturated — start a new wave
+        v += 1
+    while len(labels) < n_groups:  # unreachable in practice
+        labels.append(v)
+        v += 1
+    return labels
+
+
 # ---------------------------------------------------------------- core
 
 class _HdrfState:
@@ -460,6 +521,8 @@ def _hdrf_chunked(
     m = total_edges if total_edges is not None else edges.count()
     cap = max(1, int(balance_ratio * m / k))
     n_tasks = DEFAULT_CHUNK_TASKS
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    spread_ids = _spread_group_labels(n_tasks, n_shuffle)
 
     if chunking == "geometric":
         # slot ∈ [0, 2^C−1); chunk = floor(log2(slot+1)) gives chunk c
@@ -500,8 +563,21 @@ def _hdrf_chunked(
             if route == "src"
             else F.xxhash64("src", "dst", F.lit(7919))
         )
-        chunk = chunked.where(F.col("_chunk") == c).withColumn(
-            "_task", F.pmod(task_key, F.lit(n_tasks))
+        # project _chunk away: applyInPandas ships every column to the
+        # Python worker (guide §4.1 — pass only what the function needs).
+        # The group id is relabeled through _spread_group_labels so the
+        # T groups land in T distinct shuffle partitions — the raw
+        # 0..T-1 ids hash-collide and serialize Python groups (§2.5).
+        chunk = (
+            chunked.where(F.col("_chunk") == c)
+            .withColumn(
+                "_task",
+                F.element_at(
+                    F.array(*[F.lit(v) for v in spread_ids]),
+                    (F.pmod(task_key, F.lit(n_tasks)) + 1).cast("int"),
+                ),
+            )
+            .select("src", "dst", "_task")
         )
         if vstate is None:
             joined = (
@@ -523,55 +599,77 @@ def _hdrf_chunked(
             )
             joined = chunk.join(s_state, "src", "left").join(d_state, "dst", "left")
 
+        # Per-partition load counts ride the checkpoint action as an
+        # Observation (k sum-expressions) instead of a separate
+        # collect job per chunk (guide §1/§2: one less job × C chunks).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         assigned = (
             joined.withColumn("_ord", F.xxhash64("src", "dst", F.lit(985)))
+            # explicit repartition: AQE never coalesces a user-specified
+            # repartition, and groupBy reuses the exchange (same hash
+            # distribution) — so with the spread labels every group gets
+            # its own task and the Python runners execute fully parallel
+            .repartition(n_shuffle, "_task")
             .groupBy("_task")
             .applyInPandas(
                 _make_chunk_runner(k, lamb, cap, budget, loads.copy(), mode),
                 schema="src long, dst long, partition long",
             )
+            .observe(
+                obs,
+                *[
+                    F.sum((F.col("partition") == p).cast("long")).alias(f"l{p}")
+                    for p in range(k)
+                ],
+            )
             .localCheckpoint(eager=True)
         )
         results.append(assigned)
 
-        # distributed state delta: degree increments + new mirror pairs
-        touched = assigned.select(F.col("src").alias("vid"), "partition").unionAll(
-            assigned.select(F.col("dst").alias("vid"), "partition")
-        )
-        delta = touched.groupBy("vid").agg(
-            F.count("*").alias("d_pdeg"),
-            F.collect_set("partition").alias("d_mir"),
-        )
-        if vstate is None:
-            vstate = delta.select(
-                "vid",
-                F.col("d_pdeg").alias("pdeg"),
-                F.array_sort("d_mir").alias("mirrors"),
+        # state merge in ONE union + groupBy (identical result to the
+        # former delta-aggregate + full-outer join — pdeg sums add up,
+        # mirrors is the sorted distinct union — with one fewer shuffle
+        # stage and a simpler plan; guide §2.4)
+        touched = assigned.select(
+            F.col("src").alias("vid"),
+            F.lit(1).cast("long").alias("pdeg"),
+            F.array("partition").alias("mirrors"),
+        ).unionAll(
+            assigned.select(
+                F.col("dst").alias("vid"),
+                F.lit(1).cast("long").alias("pdeg"),
+                F.array("partition").alias("mirrors"),
             )
-        else:
-            vstate = vstate.join(delta, "vid", "full_outer").select(
-                "vid",
-                (
-                    F.coalesce(F.col("pdeg"), F.lit(0))
-                    + F.coalesce(F.col("d_pdeg"), F.lit(0))
-                ).alias("pdeg"),
-                F.array_sort(
-                    F.array_union(
-                        F.coalesce(F.col("mirrors"), F.array().cast("array<long>")),
-                        F.coalesce(F.col("d_mir"), F.array().cast("array<long>")),
-                    )
-                ).alias("mirrors"),
-            )
-        vstate = roll_state(vstate)
+        )
+        merged = touched if vstate is None else vstate.unionByName(touched)
+        vstate = merged.groupBy("vid").agg(
+            F.sum("pdeg").alias("pdeg"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("mirrors")))
+            ).alias("mirrors"),
+        )
+        # Lazy roll: the merge materializes inside the NEXT chunk's
+        # join job instead of as its own job — every shuffle job here
+        # costs ~1s of fixed overhead regardless of bytes (measured,
+        # OPTIMIZATION_r06.md), so per-chunk job count is the wall.
+        # Safe: chunk c+1 always consumes vstate_c before the roller
+        # frees vstate_{c-1}'s parent generation.
+        vstate = roll_state(vstate, eager=False)
 
-        for r in assigned.groupBy("partition").count().collect():  # k rows
-            loads[r["partition"]] += r["count"]
+        chunk_loads = obs.get  # populated by the eager checkpoint
+        for p in range(k):
+            loads[p] += chunk_loads[f"l{p}"]
 
     chunked.unpersist()
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out
+    # the union spans C × T checkpointed micro-partitions; coalesce
+    # (narrow, no shuffle) so downstream consumers (metrics, writes)
+    # don't pay C×T task launches per scan
+    return out.coalesce(n_shuffle)
 
 
 def _make_chunk_runner(

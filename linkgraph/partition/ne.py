@@ -142,11 +142,13 @@ def ne_coarse(
     balance stays the default and 'degree' is for density-skewed
     graphs.
     """
-    from linkgraph.graph import degrees, symmetrize, vertices
+    from linkgraph.graph import degrees, join_ready, symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
 
     spark = edges.sparkSession
-    sym = symmetrize(edges).cache()
+    # every adoption round (and the seed-hood pass) joins sym on src —
+    # make the cached edge side join-ready once (guide §2.4)
+    sym = join_ready(symmetrize(edges), "src").cache()
     deg = degrees(edges).cache()
     n = deg.count()
     two_m = deg.agg(F.sum("degree")).first()[0]
@@ -301,20 +303,37 @@ def ne_coarse(
             .withColumn("_fill", fill)
             .where(cond)
         )
-        if balance == "degree":
-            agg = admitted.groupBy("cluster").agg(
-                F.count("*").alias("nv"), F.sum("degree").alias("w")
-            ).collect()
-        else:
-            agg = admitted.groupBy("cluster").agg(
-                F.count("*").alias("nv"), F.count("*").alias("w")
-            ).collect()
-        new_counts = {r["cluster"]: (r["nv"], r["w"]) for r in agg}
-        if not new_counts:
-            best.unpersist()
-            break
-        labels = roll(labels.unionByName(admitted.select("vid", "cluster")))
+        # per-cluster admission counts ride the labels checkpoint as an
+        # Observation (k count / 2k count+degree-sum expressions over
+        # the open clusters) instead of a separate aggregate job per
+        # round — one less job × rounds (guide §1.5/§5)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        metrics = []
+        for c in headroom:
+            is_c = (F.col("cluster") == c).cast("long")
+            metrics.append(F.sum(is_c).alias(f"nv{c}"))
+            if balance == "degree":
+                metrics.append(
+                    F.sum(F.col("degree") * is_c).alias(f"w{c}")
+                )
+        observed = admitted.select("vid", "cluster", *(
+            ["degree"] if balance == "degree" else []
+        )).observe(obs, *metrics)
+        labels = roll(labels.unionByName(observed.select("vid", "cluster")))
         best.unpersist()
+        got = obs.get
+        new_counts = {
+            c: (
+                got[f"nv{c}"] or 0,
+                (got[f"w{c}"] if balance == "degree" else got[f"nv{c}"]) or 0,
+            )
+            for c in headroom
+            if got[f"nv{c}"]
+        }
+        if not new_counts:
+            break
         for c, (nv, w) in new_counts.items():
             sizes[c] += w
             labeled_n += nv

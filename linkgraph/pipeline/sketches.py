@@ -121,11 +121,16 @@ def heavy_hitters_cms(docs: DataFrame, top: int = CMS_TOP) -> DataFrame:
     """
     from linkgraph.pipeline.text import tokens
 
+    # localCheckpoint, not cache: referenced 2·D+1 times below, so it
+    # must be materialized once — but a cache() here is never
+    # unpersisted and retains executor storage for the whole session
+    # (round-5 advice); checkpoint blocks are freed by the context
+    # cleaner once the result is materialized and dereferenced.
     tok_cnt = (
         tokens(docs)
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("exact_cnt"))
-        .cache()
+        .localCheckpoint()
     )
     # D hash rows over the token *vocabulary* (cell contents sum the
     # exact occurrence counts of every token landing in the cell)

@@ -47,8 +47,15 @@ class RollingCheckpoint:
         self._prev_jrdd = None
         self._grandparent_jrdd = None
 
-    def __call__(self, df: DataFrame) -> DataFrame:
-        out = df.localCheckpoint(eager=True)
+    def __call__(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """``eager=False`` defers materialization to the snapshot's
+        first consumer job — one fewer job launch per iteration when
+        the next iteration's job is guaranteed to read the snapshot
+        (the chunked-partitioner state handoff). The caller must ensure
+        a consumer runs before the *parent* snapshot could be freed;
+        with the two-generation lag here that holds whenever each
+        iteration consumes the previous iteration's snapshot."""
+        out = df.localCheckpoint(eager=eager)
         if self._grandparent_jrdd is not None:
             try:
                 self._grandparent_jrdd.unpersist(False)

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE minPartitionSize stays at its 1MB default: an A/B at
+        # sf0.1 showed 1b (no floor) costs iterative kernels ~2× (32
+        # micro-tasks per tiny stage × many stages — scc 13.9→26.5s)
+        # while the one thing it fixed (AQE squeezing the k
+        # applyInPandas groups of the chunked partitioners into 2-7
+        # tasks) is handled locally by the explicit
+        # repartition(n, "_task") in _hdrf_chunked, which AQE never
+        # coalesces.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
