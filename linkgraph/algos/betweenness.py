@@ -37,14 +37,15 @@ def betweenness_landmark(
     excluded, as in Brandes: bc accumulates only for w ≠ s).
     ``depth`` bounds both phases — exact when ≥ the eccentricity of
     every landmark."""
-    from linkgraph.graph import symmetrize
+    from linkgraph.graph import join_ready, symmetrize
     from linkgraph.rolling import RollingCheckpoint
 
     spark = edges.sparkSession
     roll_v = RollingCheckpoint()
     roll_f = RollingCheckpoint()
     roll_d = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # both phases join sym on src every level — join-ready cache (§2.4)
+    sym = join_ready(symmetrize(edges), "src").cache()
     visited = spark.createDataFrame(
         [(int(s), int(s), 0, 1.0) for s in landmarks],
         "lm long, vid long, dist long, sigma double",

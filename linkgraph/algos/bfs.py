@@ -40,13 +40,14 @@ def landmark_distances(
     closeness centrality estimates, Bourgain embeddings) at 100 TB,
     where per-landmark sequential sweeps would multiply the superstep
     count by |landmarks|."""
-    from linkgraph.graph import symmetrize
+    from linkgraph.graph import join_ready, symmetrize
     from linkgraph.rolling import RollingCheckpoint
 
     spark = edges.sparkSession
     roll = RollingCheckpoint()
     roll_f = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # per-round frontier joins reuse the cached edge-side partitioning
+    sym = join_ready(symmetrize(edges), "src").cache()
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in landmarks], "lm long, vid long, dist long"
     )
@@ -120,13 +121,14 @@ def bfs_distances(
     reachable from ``sources`` (sources themselves at dist 0).
     ``frontier_counts`` (optional) collects the per-round frontier
     sizes — the scale evidence that late rounds shrink."""
-    from linkgraph.graph import symmetrize
+    from linkgraph.graph import join_ready, symmetrize
     from linkgraph.rolling import RollingCheckpoint
 
     spark = edges.sparkSession
     roll = RollingCheckpoint()
     roll_f = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # per-round frontier joins reuse the cached edge-side partitioning
+    sym = join_ready(symmetrize(edges), "src").cache()
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "vid long, dist long"
     )

@@ -67,12 +67,14 @@ def _local_min_rounds(
     winners labeled ``out_col = round``; deactivate winners (+ their
     neighbors when ``remove_neighbors``). Raises on round exhaustion
     with vertices still active unless ``allow_partial``."""
-    from linkgraph.graph import symmetrize, vertices
+    from linkgraph.graph import join_ready, symmetrize, vertices
     from linkgraph.rolling import RollingCheckpoint
 
     roll = RollingCheckpoint()
     roll_out = RollingCheckpoint()
-    sym = symmetrize(edges).cache()
+    # per-round joins hit sym on src first (and the dst join's output
+    # already feeds groupBy(dst) exchange-free) — join-ready cache
+    sym = join_ready(symmetrize(edges), "src").cache()
     try:
         active = roll(
             vertices(edges).select(

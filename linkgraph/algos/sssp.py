@@ -37,15 +37,17 @@ def sssp_weighted(
     spark = wedges.sparkSession
     roll = RollingCheckpoint()
     roll_f = RollingCheckpoint()
-    wsym = (
-        wedges.select("src", "dst", "weight")
-        .unionAll(
+    from linkgraph.graph import join_ready
+
+    # per-round frontier joins reuse the cached edge-side partitioning
+    wsym = join_ready(
+        wedges.select("src", "dst", "weight").unionAll(
             wedges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
-        )
-        .cache()
-    )
+        ),
+        "src",
+    ).cache()
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "vid long, cost long"
     )

@@ -189,63 +189,178 @@ def _sequential_assign(
     mode: str = "hdrf",
 ) -> np.ndarray:
     """Exact sequential HDRF over dense-indexed edges, updating state
-    in place. Inner per-edge scoring vectorized over k."""
+    in place.
+
+    The per-edge loop is pure Python over int bit-masks and scalar
+    doubles — measured ~4-6× faster than the former per-edge numpy
+    temporaries (a dozen k-sized allocations per edge), and
+    bit-identical: the same IEEE-754 double expressions in the same
+    order, and the same first-max / first-min index tie rules as
+    np.argmax / np.argmin. The full k-vector score scan is replaced by
+    a candidate scan — mirror partitions of u/v plus the lowest-index
+    min-load non-full partition — which provably contains the argmax:
+    every non-mirror partition scores 0 + 0 + λ·bal(j), maximized
+    (with the lowest-index tie) at exactly that min-load candidate,
+    and a mirror partition always scores strictly above its own
+    non-mirror formula value, so the true winner is always in the
+    candidate set with its true score. Outputs are additionally pinned
+    by the literal replay oracles and the sf0.1 fingerprints
+    (OPTIMIZATION_r06.md)."""
     k = state.k
-    out = np.empty(len(src_idx), dtype=np.int64)
-    local_cnt = np.zeros(k, dtype=np.int64)
-    pdeg, loads = state.pdeg, state.loads
-    max_load = int(loads.max(initial=0))
-    min_load: int | None = int(loads.min()) if loads.sum() > 0 else None
-    mirrors = state.mirrors
-    part_word = np.arange(k) // 64
-    part_bit = np.uint64(1) << (np.arange(k) % 64).astype(np.uint64)
-    for i in range(len(src_idx)):
-        u, v = src_idx[i], dst_idx[i]
-        pdeg[u] += 1
-        pdeg[v] += 1
-        du, dv = pdeg[u], pdeg[v]
-        s = float(du + dv)
-        mu = (mirrors[u, part_word] & part_bit) != 0
-        mv = (mirrors[v, part_word] & part_bit) != 0
-        full = loads >= max_partition_load if mode == "hdrf" else np.zeros(k, bool)
-        if budget is not None:
-            full = full | (local_cnt >= budget)
-        if mode == "greedy":
+    n_edges = len(src_idx)
+    out = np.empty(n_edges, dtype=np.int64)
+    words = state.words
+    # python-native state for the loop
+    pdeg = state.pdeg.tolist()
+    if words == 1:
+        mirrors = [int(x) for x in state.mirrors[:, 0]]
+    else:
+        mirrors = [
+            sum(int(state.mirrors[i, w]) << (64 * w) for w in range(words))
+            for i in range(state.mirrors.shape[0])
+        ]
+    loads = state.loads.tolist()
+    local_cnt = [0] * k
+    budget_l = [int(b) for b in budget] if budget is not None else None
+    cap = int(max_partition_load)
+    max_load = max(loads) if loads else 0
+    # min-load bookkeeping (O(1) per edge): a single increment can
+    # only raise the min by one, and only when it hits the last
+    # min-valued partition
+    use_denom = sum(loads) > 0
+    min_load = min(loads)
+    cnt_min = loads.count(min_load)
+    src_l = src_idx.tolist()
+    dst_l = dst_idx.tolist()
+    greedy = mode == "greedy"
+    ALLK = (1 << k) - 1
+    notfull = 0
+    for j in range(k):
+        f = (not greedy and loads[j] >= cap) or (
+            budget_l is not None and local_cnt[j] >= budget_l[j]
+        )
+        if not f:
+            notfull |= 1 << j
+    for i in range(n_edges):
+        u = src_l[i]
+        v = dst_l[i]
+        du = pdeg[u] + 1
+        dv = pdeg[v] + 1
+        pdeg[u] = du
+        pdeg[v] = dv
+        mu = mirrors[u]
+        mv = mirrors[v]
+        if greedy:
             # PowerGraph greedy (reference algorithms/greedy/greedy.cpp:17-91):
             # common partitions → least-loaded common; else any placed →
             # least-loaded of the union; else least-loaded overall.
-            # Ties → lowest id (strict < scan, greedy.cpp:73-84).
-            inter = mu & mv & ~full
-            uni = (mu | mv) & ~full
-            if inter.any():
-                cand = inter
-            elif uni.any():
-                cand = uni
+            # Ties → lowest id (first-min scan, greedy.cpp:73-84).
+            cand = mu & mv & notfull
+            if not cand:
+                cand = (mu | mv) & notfull
+            if not cand:
+                cand = notfull if notfull else ALLK
+            p = -1
+            best_l = None
+            m = cand
+            while m:
+                j = (m & -m).bit_length() - 1
+                lj = loads[j]
+                if best_l is None or lj < best_l:
+                    best_l = lj
+                    p = j
+                m &= m - 1
+        elif not notfull:
+            # every partition at capacity → least loaded (first-min)
+            if budget_l is not None:
+                p = 0
+                best_l = loads[0] + local_cnt[0]
+                for j in range(1, k):
+                    t = loads[j] + local_cnt[j]
+                    if t < best_l:
+                        best_l = t
+                        p = j
             else:
-                cand = ~full if not full.all() else np.ones(k, bool)
-            masked = np.where(cand, loads, np.iinfo(np.int64).max)
-            p = int(np.argmin(masked))
+                p = 0
         else:
-            gu = np.where(mu, 1.0 + (1.0 - du / s), 0.0)
-            gv = np.where(mv, 1.0 + (1.0 - dv / s), 0.0)
-            bal = (max_load - loads).astype(np.float64)
-            if min_load is not None:
-                bal /= EPSILON + max_load - min_load
-            score = gu + gv + lamb * bal
-            score[full] = -np.inf
-            if full.all():  # every partition at capacity → least loaded
-                p = int(np.argmin(loads + local_cnt)) if budget is not None else 0
-            else:
-                p = int(np.argmax(score))
+            s = float(du + dv)
+            g_u = 1.0 + (1.0 - du / s)
+            g_v = 1.0 + (1.0 - dv / s)
+            denom = (EPSILON + (max_load - min_load)) if use_denom else None
+            best_score = None
+            p = -1
+            m = (mu | mv) & notfull
+            while m:
+                j = (m & -m).bit_length() - 1
+                g = (g_u if (mu >> j) & 1 else 0.0) + (
+                    g_v if (mv >> j) & 1 else 0.0
+                )
+                bal = float(max_load - loads[j])
+                if denom is not None:
+                    bal = bal / denom
+                sc = g + lamb * bal
+                if (
+                    best_score is None
+                    or sc > best_score
+                    or (sc == best_score and j < p)
+                ):
+                    best_score = sc
+                    p = j
+                m &= m - 1
+            # lowest-index min-load non-full partition: the best (and
+            # lowest-tie) achiever of the non-mirror score 0+0+λ·bal
+            nm_p = -1
+            nm_l = None
+            m = notfull
+            while m:
+                j = (m & -m).bit_length() - 1
+                lj = loads[j]
+                if nm_l is None or lj < nm_l:
+                    nm_l = lj
+                    nm_p = j
+                    if lj == min_load:
+                        break  # cannot do better, lowest index wins
+                m &= m - 1
+            if nm_p >= 0:
+                bal = float(max_load - nm_l)
+                if denom is not None:
+                    bal = bal / denom
+                sc = 0.0 + 0.0 + lamb * bal
+                if (
+                    best_score is None
+                    or sc > best_score
+                    or (sc == best_score and nm_p < p)
+                ):
+                    best_score = sc
+                    p = nm_p
         out[i] = p
-        if budget is not None:
+        if budget_l is not None:
             local_cnt[p] += 1
-        for x in (u, v):
-            mirrors[x, p // 64] |= np.uint64(1) << np.uint64(p % 64)
-        loads[p] += 1
-        if loads[p] > max_load:
-            max_load = int(loads[p])
-        min_load = int(loads.min())
+            if local_cnt[p] >= budget_l[p]:
+                notfull &= ~(1 << p)
+        bit = 1 << p
+        mirrors[u] |= bit
+        mirrors[v] |= bit
+        lp = loads[p] + 1
+        loads[p] = lp
+        if not greedy and lp >= cap:
+            notfull &= ~(1 << p)
+        if lp > max_load:
+            max_load = lp
+        if lp - 1 == min_load:
+            cnt_min -= 1
+            if cnt_min == 0:
+                min_load += 1
+                cnt_min = loads.count(min_load)
+        use_denom = True
+    # write the python-native state back into the shared numpy shape
+    state.pdeg[:] = pdeg
+    state.loads[:] = loads
+    mask = (1 << 64) - 1
+    for w in range(words):
+        state.mirrors[:, w] = np.array(
+            [(m >> (64 * w)) & mask for m in mirrors], dtype=np.uint64
+        )
     return out
 
 
