@@ -381,13 +381,21 @@ def cc_csr_blocks(
             .agg(F.min("partial").alias("component"))
         )
         at_checkpoint = (i + 1) % checkpoint_every == 0 or i == rounds - 1
+        obs = None
+        if fixed_iterations is None and at_checkpoint:
+            # convergence sum rides the checkpoint as an Observation
+            # (zero extra jobs — the cc.py/scc.py pattern)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            )
         if at_checkpoint:
             new_labels = roll(new_labels)
         labels = new_labels
-        if fixed_iterations is None and at_checkpoint:
-            cur_sum = labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-            ).first()["s"]
+        if obs is not None:
+            cur_sum = obs.get["s"]
             if prev_sum is not None and cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
