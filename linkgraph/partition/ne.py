@@ -259,23 +259,37 @@ def ne_coarse(
             cand.withColumn("_rn", F.row_number().over(w_pick))
             .where(F.col("_rn") == 1)
             .select(*keep_cols)
-            .cache()
         )
-        hist: dict[int, list[tuple[int, int]]] = {}
-        for r in best.groupBy("cluster", "cnt").count().collect():
-            hist.setdefault(int(r["cluster"]), []).append(
-                (int(r["cnt"]), int(r["count"]))
+        # Exact-safe pre-filter threshold, computed IN-PLAN instead of
+        # through a per-round driver collect (one fewer job × rounds —
+        # guide §1.5/§5): per cluster, the headroom-th largest cnt is
+        # the max cnt whose cumulative (cnt desc) row count reaches the
+        # headroom; candidates strictly below it can never rank within
+        # the headroom, so dropping them before the window changes
+        # nothing (ties AT the threshold still compete by vid inside
+        # the window — bit-identical to the former driver-side
+        # histogram walk, which this replaces).
+        headroom_col = None
+        for c, h in headroom.items():
+            expr = F.when(F.col("cluster") == c, F.lit(h))
+            headroom_col = (
+                expr if headroom_col is None
+                else headroom_col.when(F.col("cluster") == c, F.lit(h))
             )
-        thr: dict[int, int] = {}
-        for c, buckets in hist.items():
-            cum = 0
-            t = 0  # cnt ≥ 1 always → 0 keeps all when candidates < headroom
-            for cnt_val, n_rows in sorted(buckets, reverse=True):
-                cum += n_rows
-                if cum >= headroom[c]:
-                    t = cnt_val
-                    break
-            thr[c] = t
+        w_hist = Window.partitionBy("cluster").orderBy(F.desc("cnt"))
+        thr_df = (
+            best.groupBy("cluster", "cnt")
+            .agg(F.count("*").alias("_rows"))
+            .withColumn(
+                "_cum",
+                F.sum("_rows").over(
+                    w_hist.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .where(F.col("_cum") >= headroom_col)
+            .groupBy("cluster")
+            .agg(F.max("cnt").alias("_thr"))
+        )
         w_cap = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("vid"))
         # the per-cluster budget column: admitted rows are the prefix of
         # the (cnt desc, vid) order whose row count (vertex balance) or
@@ -286,22 +300,12 @@ def ne_coarse(
             )
         else:
             fill = F.row_number().over(w_cap)
-        cond = None
-        for c, h in headroom.items():
-            this = (
-                (F.col("cluster") == c)
-                & (F.col("cnt") >= thr.get(c, 0))
-                & (F.col("_fill") <= h)
-            )
-            cond = this if cond is None else (cond | this)
-        pre = None
-        for c in headroom:
-            this = (F.col("cluster") == c) & (F.col("cnt") >= thr.get(c, 0))
-            pre = this if pre is None else (pre | this)
         admitted = (
-            best.where(pre)
+            best.join(thr_df, "cluster", "left")
+            .where(F.col("cnt") >= F.coalesce(F.col("_thr"), F.lit(0)))
             .withColumn("_fill", fill)
-            .where(cond)
+            .where(F.col("_fill") <= headroom_col)
+            .select(*keep_cols)
         )
         # per-cluster admission counts ride the labels checkpoint as an
         # Observation (k count / 2k count+degree-sum expressions over
@@ -322,7 +326,6 @@ def ne_coarse(
             ["degree"] if balance == "degree" else []
         )).observe(obs, *metrics)
         labels = roll(labels.unionByName(observed.select("vid", "cluster")))
-        best.unpersist()
         got = obs.get
         new_counts = {
             c: (
@@ -351,10 +354,21 @@ def ne_coarse(
             ).cast("long"),
         )
     )
-    labels = labels.unionByName(rest.select("vid", "cluster")).cache()
+    # Materialize the final |V|-sized (vid, cluster, degree) table
+    # (eager checkpoint, same scale class as the per-round rolls):
+    # consumers of the returned placement join typically branch
+    # (metrics reads it as mirrors AND loads), and an un-materialized
+    # label plan re-executes the straggler anti-join + hash-fill +
+    # degree join per branch — measured 16.7 s of re-execution in the
+    # metrics phase at sf0.1 (trace in OPTIMIZATION_r06.md). With the
+    # degree folded in, the round caches can be released here too.
+    lab_deg = roll(
+        labels.unionByName(rest.select("vid", "cluster")).join(deg, "vid")
+    )
+    sym.unpersist()
+    deg.unpersist()
 
     # Phase 2: edge placement by endpoint clusters + degree preference
-    lab_deg = labels.join(deg, "vid")
     ls = lab_deg.select(
         F.col("vid").alias("src"),
         F.col("cluster").alias("c_src"),
