@@ -659,20 +659,28 @@ def _hdrf_chunked(
     loads = (
         init_loads.copy() if init_loads is not None else np.zeros(k, dtype=np.int64)
     )
-    # Size-gated state broadcast: while the OBSERVED state row count
-    # (exact — it rides the merge checkpoint) stays under the cap, the
-    # two per-chunk state joins broadcast instead of shuffling the
-    # chunk side twice (guide §3.1: broadcast decided from real size,
-    # not a blind hint). State rows only grow, so once the cap is
-    # exceeded the loop permanently reverts to the lazy-checkpoint +
-    # co-partitioned-join path — which at 100 TB is what runs from
-    # chunk 0 (first chunk's state ≈ 2m/C rows ≫ any sane cap).
+    # Size-gated state broadcast: while the state row count provably
+    # stays under the cap, the two per-chunk state joins broadcast
+    # instead of shuffling the chunk side twice (guide §3.1: broadcast
+    # decided from real size, not a blind hint). State rows only grow,
+    # so once the cap is exceeded the loop permanently reverts to the
+    # lazy-checkpoint + co-partitioned-join path — which at 100 TB is
+    # what runs from chunk 0 (first chunk's state ≈ 2m/C rows ≫ any
+    # sane cap).
     import os as _os
 
     bcast_rows_cap = int(
         _os.environ.get("SPARK_GRAFT_STATE_BROADCAST_ROWS", "1000000")
     )
-    state_rows: int | None = None  # unknown → shuffle path
+    # Smallest known upper bound on vstate's row count: exact right
+    # after an observed merge, otherwise previous bound + 2×chunk edges
+    # (each edge introduces at most two unseen vertices). The bound
+    # lets the merge roll LAZILY while it stays under the broadcast cap
+    # — the merge then materializes inside the next chunk's broadcast
+    # build instead of as its own ~1 s job — and an exact count is
+    # re-observed only when the bound crosses the cap. None = unknown
+    # (init_vstate) or known-large → permanent co-partitioned-join path.
+    state_rows_ub: int | None = 0 if init_vstate is None else None
     results = []
     for c in range(num_chunks):
         if not chunk_sizes.get(c, 0):
@@ -726,7 +734,7 @@ def _hdrf_chunked(
                 F.col("pdeg").alias("dst_pdeg"),
                 F.col("mirrors").alias("dst_mir"),
             )
-            if state_rows is not None and state_rows <= bcast_rows_cap:
+            if state_rows_ub is not None and state_rows_ub <= bcast_rows_cap:
                 s_state = F.broadcast(s_state)
                 d_state = F.broadcast(d_state)
             joined = chunk.join(s_state, "src", "left").join(d_state, "dst", "left")
@@ -782,31 +790,32 @@ def _hdrf_chunked(
                 F.array_distinct(F.flatten(F.collect_list("mirrors")))
             ).alias("mirrors"),
         )
-        # While the state is broadcast-small, roll EAGERLY with the
-        # row count observed on the checkpoint (the count gates the
-        # next chunk's broadcast); beyond the cap, roll LAZILY — the
-        # merge then materializes inside the NEXT chunk's join job
-        # instead of as its own job (every shuffle job here costs
-        # ~1s of fixed overhead regardless of bytes — measured,
-        # OPTIMIZATION_r06.md — so per-chunk job count is the wall).
-        # Lazy is safe: chunk c+1 always consumes vstate_c before the
-        # roller frees vstate_{c-1}'s parent generation.
-        if state_rows is None or state_rows > bcast_rows_cap:
-            # already on the scale path (or size unknown): stay lazy
-            # unless this is the very first merge, whose count decides
-            # which path the rest of the run takes
-            first_merge = state_rows is None and init_vstate is None
-        else:
-            first_merge = True  # still small — keep observing
-        if first_merge:
-            obs_s = Observation()
-            vstate = roll_state(
-                vstate.observe(obs_s, F.count(F.lit(1)).alias("n"))
-            )
-            state_rows = obs_s.get["n"]
-        else:
+        # The merge always rolls LAZILY when it can — it then
+        # materializes inside the NEXT chunk's join job (broadcast
+        # build or co-partitioned join) instead of as its own job
+        # (every shuffle job here costs ~1s of fixed overhead
+        # regardless of bytes — measured, OPTIMIZATION_r06.md — so
+        # per-chunk job count is the wall). Lazy is safe: chunk c+1
+        # always consumes vstate_c before the roller frees
+        # vstate_{c-1}'s parent generation. In broadcast mode the gate
+        # rides the row-count UPPER BOUND; only when the bound crosses
+        # the cap does one eager observed merge refresh it with the
+        # exact count — if that is genuinely over the cap, the loop
+        # permanently reverts to the co-partitioned-join path (which at
+        # 100 TB is what runs from chunk 0).
+        if state_rows_ub is None:
             vstate = roll_state(vstate, eager=False)
-            state_rows = bcast_rows_cap + 1  # permanently large
+        else:
+            state_rows_ub += 2 * chunk_sizes.get(c, 0)
+            if state_rows_ub <= bcast_rows_cap:
+                vstate = roll_state(vstate, eager=False)
+            else:
+                obs_s = Observation()
+                vstate = roll_state(
+                    vstate.observe(obs_s, F.count(F.lit(1)).alias("n"))
+                )
+                exact = obs_s.get["n"]
+                state_rows_ub = exact if exact <= bcast_rows_cap else None
 
         chunk_loads = obs.get  # populated by the eager checkpoint
         for p in range(k):

@@ -38,6 +38,7 @@ def main() -> None:
     extra = {
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": EVDIR,
+        "spark.eventLog.compress": "false",
         "spark.ui.showConsoleProgress": "false",
     }
     # optional conf overrides for A/B runs: TRACE_CONF="k=v,k=v"
