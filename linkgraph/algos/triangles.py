@@ -1,16 +1,29 @@
-"""Triangle counting via ordered two-join enumeration.
+"""Triangle counting via oriented adjacency-set intersection.
 
 Input: canonical one-direction undirected edges (src < dst, no
-self-loops, deduplicated). A triangle {a,b,c} (a<b<c) is found exactly
-once as e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+self-loops, deduplicated). Under any acyclic edge orientation a
+triangle has exactly one *base* edge (u, v) whose other corner is an
+out-neighbor of both endpoints, so the triangles are exactly
+{(u, v, w) : (u, v) ∈ E, w ∈ N⁺(u) ∩ N⁺(v)} — each found once.
+
+Execution shape: one groupBy builds the sorted out-adjacency array per
+vertex, then the edge table joins that array onto each endpoint and
+intersects the two arrays in-plan (``array_intersect``). Compared to
+the classic two-join wedge enumeration (e1 ⋈ e2 on the middle vertex,
+then a membership join on (a, c)), nothing W-sized (W = Σ outdeg² ≫ m
+wedges) is ever shuffled: the only exchanges are the adjacency build
+and the two edge-side joins, each O(m) rows carrying O(outdeg)-long
+arrays. Measured at sf0.1/local[32]: 27.5 → 10.5 s for the global
+count (OPTIMIZATION_r06.md), same result by construction.
 
 Scale note (``degree_oriented=True``, the default): edges are first
 re-oriented from the (degree, vid)-smaller endpoint to the larger —
-the standard compact-forward optimization. The wedge join then fans
-out by *oriented out-degree*, which is O(√m) per vertex even on
-power-law graphs, instead of by raw hub degree. Result set is
-identical (each triangle still enumerated exactly once under the
-strict total order), so the simple a<b<c SQL oracle matches.
+the standard compact-forward optimization. Both the adjacency arrays
+and the intersection fan-out are then bounded by *oriented
+out-degree*, which is O(√m) per vertex even on power-law graphs,
+instead of by raw hub degree. The enumerated set is identical (each
+triangle still found exactly once under the strict total order), so
+the simple a<b<c SQL oracle matches.
 """
 
 from __future__ import annotations
@@ -38,29 +51,51 @@ def _orient_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def _edge_common_neighbors(edges: DataFrame, degree_oriented: bool) -> DataFrame:
+    """Per base edge, the common out-neighbors of its endpoints →
+    DataFrame[a, b, common: array<long>]. Every triangle appears
+    exactly once, as one element of exactly one edge's ``common``
+    (module docstring)."""
+    e = _orient_by_degree(edges) if degree_oriented else edges.select("src", "dst")
+    adj = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    na = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("_na"))
+    nb = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("_nb"))
+    return (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", F.array_intersect("_na", "_nb").alias("common"))
+    )
+
+
 def triangle_list(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
     """Enumerate triangles once each → DataFrame[a, b, c] (orientation
-    order, not sorted)."""
-    e = _orient_by_degree(edges) if degree_oriented else edges.select("src", "dst")
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    order — a→b, a→c, b→c — not sorted)."""
+    return _edge_common_neighbors(edges, degree_oriented).select(
+        "a", "b", F.explode("common").alias("c")
+    )
 
 
 def triangle_counts(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
     """Per-vertex triangle counts → DataFrame[vid: long, triangles:
     long]. Vertices in no triangle are included with 0 (reference
-    "true vertices" semantics — every vertex with ≥1 edge appears)."""
+    "true vertices" semantics — every vertex with ≥1 edge appears).
+
+    Each base edge's triangles contribute once to each corner: size of
+    ``common`` to both endpoints, one per listed third corner — the
+    same multiset as exploding the triangle list three ways, without
+    re-materializing it."""
     from linkgraph.graph import vertices
 
-    tri = triangle_list(edges, degree_oriented)
-    members = (
-        tri.select(F.col("a").alias("vid"))
-        .unionAll(tri.select(F.col("b").alias("vid")))
-        .unionAll(tri.select(F.col("c").alias("vid")))
+    per_edge = _edge_common_neighbors(edges, degree_oriented).where(
+        F.size("common") > 0
     )
-    counts = members.groupBy("vid").agg(F.count("*").cast("long").alias("triangles"))
+    members = (
+        per_edge.select(F.col("a").alias("vid"), F.size("common").alias("t"))
+        .unionAll(per_edge.select(F.col("b").alias("vid"), F.size("common").alias("t")))
+        .unionAll(per_edge.select(F.explode("common").alias("vid"), F.lit(1).alias("t")))
+    )
+    counts = members.groupBy("vid").agg(F.sum("t").cast("long").alias("triangles"))
     return (
         vertices(edges)
         .join(counts, "vid", "left")
@@ -70,8 +105,8 @@ def triangle_counts(edges: DataFrame, degree_oriented: bool = True) -> DataFrame
 
 def triangle_total(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
     """Global triangle count → one row DataFrame[n_triangles: long]."""
-    return triangle_list(edges, degree_oriented).agg(
-        F.count("*").cast("long").alias("n_triangles")
+    return _edge_common_neighbors(edges, degree_oriented).agg(
+        F.coalesce(F.sum(F.size("common")), F.lit(0)).cast("long").alias("n_triangles")
     )
 
 
