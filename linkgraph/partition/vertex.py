@@ -229,9 +229,21 @@ def vertex_partition_chunked(
                 .agg(F.count("*").alias("cnt"))
             )
             counts_df = cv.join(joined, "vid", "left")
+        # (The hdrf-style spread-label + explicit-repartition treatment
+        # was A/B'd here and NOT taken: the LDG/Fennel scorer is
+        # per-vertex and cheap, so at gate scale AQE's coalescing of
+        # the tiny Python groups is a win, not the serialization hazard
+        # it is for the per-edge HDRF groups — measured ldg 16.1 →
+        # 21.6 s with the extra exchange.)
         grouped = counts_df.withColumn(
             "_task", F.pmod(F.xxhash64("vid", F.lit(7919)), F.lit(n_tasks))
         ).withColumn("_ord", F.xxhash64("vid", F.lit(424242)))
+        # Per-partition size increments ride the checkpoint action as an
+        # Observation (k sums) instead of a separate collect job per
+        # chunk (guide §1.5/§5; same as _hdrf_chunked).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         out = (
             grouped.groupBy("_task")
             .applyInPandas(
@@ -240,14 +252,22 @@ def vertex_partition_chunked(
                 ),
                 schema="vid long, partition long",
             )
+            .observe(
+                obs,
+                *[
+                    F.sum((F.col("partition") == p).cast("long")).alias(f"s{p}")
+                    for p in range(k)
+                ],
+            )
             .localCheckpoint(eager=True)
         )
         results.append(out)
         assignment = results[0]
         for r in results[1:]:
             assignment = assignment.unionByName(r)
-        for r in out.groupBy("partition").count().collect():  # ≤ k rows
-            sizes[r["partition"]] += r["count"]
+        got = obs.get
+        for p in range(k):
+            sizes[p] += got[f"s{p}"] or 0
     verts.unpersist()
     sym.unpersist()
     return assignment
